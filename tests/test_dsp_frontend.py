@@ -1,0 +1,114 @@
+"""Parity tests for the DSP frontend.
+
+This is the rebuilt, automated version of the reference's de-facto test
+suite (``pytorch/stft.py:925-1244`` ``debug()``), which compares the
+conv-based STFT/logmel against numpy/librosa gold.  Here the gold is an
+independent numpy implementation built directly on ``np.fft.rfft``.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sed_tpu.config import AUDIO_8K, AUDIO_16K, AUDIO_32K
+from sed_tpu.dsp import filters, frontend
+
+
+def gold_stft(x: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+    """Independent STFT gold: reflect pad, periodic hann, rfft."""
+    w = filters.periodic_hann(n_fft)
+    x = np.pad(x, n_fft // 2, mode='reflect')
+    n_frames = 1 + (len(x) - n_fft) // hop
+    frames = np.stack([x[i * hop:i * hop + n_fft] for i in range(n_frames)])
+    return np.fft.rfft(frames * w, axis=-1)
+
+
+def gold_logmel(x, cfg):
+    S = np.abs(gold_stft(x, cfg.window_size, cfg.hop_size)) ** 2
+    mel = S @ filters.mel_filterbank(cfg.sample_rate, cfg.window_size,
+                                     cfg.mel_bins, cfg.fmin, cfg.fmax)
+    return 10.0 * np.log10(np.maximum(mel, 1e-10))
+
+
+@pytest.mark.parametrize('cfg', [AUDIO_8K, AUDIO_16K, AUDIO_32K],
+                         ids=['8k', '16k', '32k'])
+def test_spectrogram_matches_fft_gold(cfg):
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, cfg.sample_rate).astype(np.float32)  # 1 s
+    fe = frontend.LogmelFrontend(cfg)
+    spec = np.asarray(fe.spectrogram(jnp.asarray(x)[None]))[0]
+    gold = np.abs(gold_stft(x.astype(np.float64), cfg.window_size,
+                            cfg.hop_size)) ** 2
+    assert spec.shape == gold.shape
+    assert spec.shape[0] == cfg.frames_per_second + 1  # 100 fps contract
+    np.testing.assert_allclose(spec, gold, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize('cfg', [AUDIO_8K, AUDIO_16K, AUDIO_32K],
+                         ids=['8k', '16k', '32k'])
+def test_logmel_matches_fft_gold(cfg):
+    rng = np.random.RandomState(1)
+    x = rng.uniform(-0.5, 0.5, cfg.sample_rate * 2).astype(np.float32)
+    fe = frontend.LogmelFrontend(cfg)
+    out = np.asarray(fe(jnp.asarray(x)[None]))[0]
+    gold = gold_logmel(x.astype(np.float64), cfg)
+    assert out.shape == (2 * cfg.frames_per_second + 1, cfg.mel_bins)
+    np.testing.assert_allclose(out, gold, rtol=1e-3, atol=2e-3)
+
+
+def test_clip_frame_count_contract():
+    """All qualities give 1001 frames per 10 s clip (SURVEY §1)."""
+    for cfg in (AUDIO_8K, AUDIO_16K, AUDIO_32K):
+        x = jnp.zeros((1, cfg.audio_samples))
+        out = frontend.LogmelFrontend(cfg)(x)
+        assert out.shape == (1, 1001, 64)
+        assert cfg.clip_frames == 1001
+
+
+def test_frame_signal_no_center():
+    x = jnp.arange(32, dtype=jnp.float32)
+    f = frontend.frame_signal(x, 8, 4, center=False)
+    assert f.shape == (7, 8)
+    np.testing.assert_array_equal(np.asarray(f[0]), np.arange(8))
+    np.testing.assert_array_equal(np.asarray(f[3]), np.arange(12, 20))
+
+
+def test_mel_filterbank_properties():
+    melW = filters.mel_filterbank(32000, 1024, 64, 50, 14000)
+    assert melW.shape == (513, 64)
+    assert np.all(melW >= 0)
+    # every filter has support
+    assert np.all(melW.sum(axis=0) > 0)
+    # Slaney norm: filter area ~ 2/bandwidth -> peak * bandwidth/2 ~ const-ish.
+    mel_f = filters.mel_frequencies(66, 50, 14000)
+    enorm = 2.0 / (mel_f[2:] - mel_f[:-2])
+    peaks = melW.max(axis=0)
+    # peak <= enorm (triangle apex may fall between fft bins)
+    assert np.all(peaks <= enorm * (1 + 1e-12))
+
+
+def test_mel_scale_roundtrip():
+    f = np.array([0.0, 50.0, 999.0, 1000.0, 5000.0, 14000.0])
+    np.testing.assert_allclose(filters.mel_to_hz(filters.hz_to_mel(f)), f,
+                               rtol=1e-12)
+    np.testing.assert_allclose(
+        filters.mel_to_hz(filters.hz_to_mel(f, htk=True), htk=True), f,
+        rtol=1e-12)
+
+
+def test_sine_peak_lands_on_expected_mel_bin():
+    cfg = AUDIO_32K
+    t = np.arange(cfg.sample_rate) / cfg.sample_rate
+    x = np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
+    fe = frontend.LogmelFrontend(cfg)
+    out = np.asarray(fe(jnp.asarray(x)[None]))[0]
+    peak_bin = out.mean(axis=0).argmax()
+    mel_centers = filters.mel_frequencies(66, cfg.fmin, cfg.fmax)[1:-1]
+    assert abs(mel_centers[peak_bin] - 1000.0) < 150.0
+
+
+def test_power_to_db_top_db():
+    x = jnp.asarray([1.0, 1e-3, 1e-20])
+    db = np.asarray(frontend.power_to_db(x, top_db=40.0))
+    assert db[0] == 0.0  # ref=1.0 -> zero shift
+    assert db.min() >= db.max() - 40.0
