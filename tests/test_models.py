@@ -1,0 +1,167 @@
+"""Model zoo tests: shapes, param counts vs thesis, torch-oracle parity.
+
+torch (CPU) is used only as a numerical oracle for layer semantics
+(``torch.nn.GRU`` gate order, conv layout); no reference code is involved.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sed_tpu.config import AUDIO_16K, CLASSES_NUM
+from sed_tpu.models import blocks
+from sed_tpu.models.registry import get_model, MODEL_REGISTRY
+
+RNGS = {'params': jax.random.PRNGKey(0)}
+TRAIN_RNGS = {'params': jax.random.PRNGKey(0),
+              'dropout': jax.random.PRNGKey(1),
+              'augment': jax.random.PRNGKey(2)}
+
+
+def _param_count(params):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+@pytest.mark.parametrize('name', sorted(MODEL_REGISTRY))
+def test_model_shapes_10s_clip(name):
+    model = get_model(name, AUDIO_16K)
+    wav = jnp.zeros((2, AUDIO_16K.audio_samples), jnp.float32)
+    variables = model.init(RNGS, wav, train=False)
+    out = model.apply(variables, wav, train=False)
+    assert out['clipwise_output'].shape == (2, CLASSES_NUM)
+    assert out['framewise_output'].shape == (2, 1000, CLASSES_NUM)
+    fw = np.asarray(out['framewise_output'])
+    cw = np.asarray(out['clipwise_output'])
+    assert np.all((fw >= 0) & (fw <= 1))
+    assert np.all((cw >= 0) & (cw <= 1))
+
+
+def test_param_counts_match_thesis():
+    """Thesis table (Results_and_Discussion.tex:109): GRU-Att 5,894,692 and
+    Transformer-Att 5,763,620.  Ours differ only by the reference's dead
+    parameters: AttBlock.bn_att (50) and MultiHead.layer_norm (1024),
+    which exist in torch but are never used in forward
+    (``pytorch/models.py:154,842``)."""
+    wav = jnp.zeros((1, AUDIO_16K.audio_samples), jnp.float32)
+
+    gru = get_model('Cnn_9layers_Gru_FrameAtt', AUDIO_16K)
+    v = gru.init(RNGS, wav, train=False)
+    assert _param_count(v['params']) == 5_894_692 - 50
+
+    tr = get_model('Cnn_9layers_Transformer_FrameAtt', AUDIO_16K)
+    v = tr.init(RNGS, wav, train=False)
+    assert _param_count(v['params']) == 5_763_620 - 50 - 1024
+
+
+def test_gru_matches_torch_oracle():
+    torch = pytest.importorskip('torch')
+    B, T, D, H = 3, 17, 8, 16
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, T, D).astype(np.float32)
+
+    t_gru = torch.nn.GRU(D, H, num_layers=1, bias=True, batch_first=True,
+                         bidirectional=True)
+    sd = t_gru.state_dict()
+
+    model = blocks.BiGRU(H)
+    params = {
+        'fw': {'w_ih': jnp.asarray(sd['weight_ih_l0'].numpy()),
+               'w_hh': jnp.asarray(sd['weight_hh_l0'].numpy()),
+               'b_ih': jnp.asarray(sd['bias_ih_l0'].numpy()),
+               'b_hh': jnp.asarray(sd['bias_hh_l0'].numpy())},
+        'bw': {'w_ih': jnp.asarray(sd['weight_ih_l0_reverse'].numpy()),
+               'w_hh': jnp.asarray(sd['weight_hh_l0_reverse'].numpy()),
+               'b_ih': jnp.asarray(sd['bias_ih_l0_reverse'].numpy()),
+               'b_hh': jnp.asarray(sd['bias_hh_l0_reverse'].numpy())},
+    }
+    got = np.asarray(model.apply({'params': params}, jnp.asarray(x)))
+    with torch.no_grad():
+        want, _ = t_gru(torch.from_numpy(x))
+    np.testing.assert_allclose(got, want.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_convblock_matches_torch_oracle():
+    torch = pytest.importorskip('torch')
+    rng = np.random.RandomState(1)
+    B, T, F_, CIN, COUT = 2, 16, 8, 3, 4
+    x = rng.randn(B, T, F_, CIN).astype(np.float32)
+
+    conv1 = torch.nn.Conv2d(CIN, COUT, 3, padding=1, bias=False)
+    conv2 = torch.nn.Conv2d(COUT, COUT, 3, padding=1, bias=False)
+    bn1 = torch.nn.BatchNorm2d(COUT).eval()
+    bn2 = torch.nn.BatchNorm2d(COUT).eval()
+    for bn in (bn1, bn2):
+        bn.running_mean.copy_(torch.from_numpy(
+            rng.randn(COUT).astype(np.float32) * 0.1))
+        bn.running_var.copy_(torch.from_numpy(
+            rng.rand(COUT).astype(np.float32) + 0.5))
+        bn.weight.data.copy_(torch.from_numpy(
+            rng.rand(COUT).astype(np.float32) + 0.5))
+        bn.bias.data.copy_(torch.from_numpy(
+            rng.randn(COUT).astype(np.float32) * 0.1))
+
+    with torch.no_grad():
+        t = torch.from_numpy(x).permute(0, 3, 1, 2)  # NCHW
+        t = torch.relu(bn1(conv1(t)))
+        t = torch.relu(bn2(conv2(t)))
+        t = torch.nn.functional.avg_pool2d(t, 2)
+        want = t.permute(0, 2, 3, 1).numpy()
+
+    def k(c):  # torch OIHW -> flax HWIO
+        return jnp.asarray(c.weight.detach().numpy().transpose(2, 3, 1, 0))
+
+    variables = {
+        'params': {
+            'conv1': {'kernel': k(conv1)},
+            'conv2': {'kernel': k(conv2)},
+            'bn1': {'scale': jnp.asarray(bn1.weight.detach().numpy()),
+                    'bias': jnp.asarray(bn1.bias.detach().numpy())},
+            'bn2': {'scale': jnp.asarray(bn2.weight.detach().numpy()),
+                    'bias': jnp.asarray(bn2.bias.detach().numpy())},
+        },
+        'batch_stats': {
+            'bn1': {'mean': jnp.asarray(bn1.running_mean.numpy()),
+                    'var': jnp.asarray(bn1.running_var.numpy())},
+            'bn2': {'mean': jnp.asarray(bn2.running_mean.numpy()),
+                    'var': jnp.asarray(bn2.running_var.numpy())},
+        },
+    }
+    got = np.asarray(blocks.ConvBlock(COUT).apply(
+        variables, jnp.asarray(x), False, (2, 2), 'avg'))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_train_mode_with_mixup_halves_batch():
+    model = get_model('Cnn_9layers_Gru_FrameAtt', AUDIO_16K)
+    wav = jnp.zeros((4, AUDIO_16K.audio_samples), jnp.float32)
+    variables = model.init(TRAIN_RNGS, wav, train=False)
+    lam = jnp.asarray([0.3, 0.7, 0.9, 0.1])
+    out, _ = model.apply(
+        variables, wav, train=True, mixup_lambda=lam, timeshift=False,
+        spec_augment=True, rngs={'dropout': jax.random.PRNGKey(3),
+                                 'augment': jax.random.PRNGKey(4)},
+        mutable=['batch_stats'])
+    assert out['clipwise_output'].shape == (2, CLASSES_NUM)
+
+
+def test_shorter_window_pads_to_roundup():
+    """5 s windows: 501 frames -> 62 pooled -> 496 -> padded to 500
+    (``pytorch/models.py:680-681``)."""
+    model = get_model('Cnn_9layers_Gru_FrameAtt', AUDIO_16K)
+    wav = jnp.zeros((1, AUDIO_16K.sample_rate * 5), jnp.float32)
+    variables = model.init(RNGS, wav, train=False)
+    out = model.apply(variables, wav, train=False)
+    assert out['framewise_output'].shape == (1, 500, CLASSES_NUM)
+
+
+def test_interpolate_and_pad_helpers():
+    x = jnp.asarray(np.arange(6, dtype=np.float32).reshape(1, 3, 2))
+    up = blocks.interpolate(x, 2)
+    assert up.shape == (1, 6, 2)
+    np.testing.assert_array_equal(np.asarray(up[0, :2, 0]), [0, 0])
+    padded = blocks.pad_framewise_output(x, 5)
+    assert padded.shape == (1, 5, 2)
+    np.testing.assert_array_equal(np.asarray(padded[0, -1]),
+                                  np.asarray(x[0, -1]))
+    assert blocks.roundup(496) == 500 and blocks.roundup(1000) == 1000
