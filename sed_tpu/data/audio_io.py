@@ -1,0 +1,101 @@
+"""Audio file I/O: wav decode, mono mixdown, resampling.
+
+The reference leans on ``librosa.core.load`` (``pytorch/predict.py:295``,
+``utils/features.py:356``) and shells out to ffmpeg for non-wav input
+(``pytorch/predict.py:288-294``).  Here wav decoding is
+scipy/stdlib-based, resampling is polyphase (scipy), and ffmpeg is an
+optional gated fallback for compressed formats.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import subprocess
+import tempfile
+from typing import Optional, Tuple
+
+import numpy as np
+from scipy.io import wavfile
+from scipy.signal import resample_poly
+
+
+def _to_float32(data: np.ndarray) -> np.ndarray:
+    """Normalize PCM to [-1, 1] float32 (librosa convention)."""
+    if data.dtype == np.float32 or data.dtype == np.float64:
+        return data.astype(np.float32)
+    if data.dtype == np.int16:
+        return (data / 32768.0).astype(np.float32)
+    if data.dtype == np.int32:
+        return (data / 2147483648.0).astype(np.float32)
+    if data.dtype == np.uint8:
+        return ((data.astype(np.float32) - 128.0) / 128.0)
+    raise ValueError(f'unsupported wav dtype: {data.dtype}')
+
+
+def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resampling (Kaiser-windowed), mono float32."""
+    if orig_sr == target_sr:
+        return x.astype(np.float32)
+    g = math.gcd(int(orig_sr), int(target_sr))
+    out = resample_poly(x.astype(np.float64), target_sr // g, orig_sr // g)
+    return out.astype(np.float32)
+
+
+def _ffmpeg_to_wav(path: str) -> str:
+    """Convert a compressed file to wav via ffmpeg if available."""
+    if shutil.which('ffmpeg') is None:
+        raise RuntimeError(
+            f'cannot decode {path!r}: not a wav file and ffmpeg is not '
+            'installed')
+    out = tempfile.NamedTemporaryFile(suffix='.wav', delete=False).name
+    subprocess.run(['ffmpeg', '-y', '-i', path, out], check=True,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    return out
+
+
+def load_audio(path: str, sr: Optional[int] = None,
+               mono: bool = True) -> Tuple[np.ndarray, int]:
+    """Load an audio file as float32 in [-1, 1].
+
+    Returns (waveform, sample_rate).  If ``sr`` is given the waveform is
+    resampled (librosa.load semantics).
+    """
+    tmp = None
+    if not path.lower().endswith('.wav'):
+        tmp = _ffmpeg_to_wav(path)
+        path = tmp
+    try:
+        file_sr, data = wavfile.read(path)
+    finally:
+        if tmp is not None:
+            os.unlink(tmp)
+    x = _to_float32(np.asarray(data))
+    if mono and x.ndim == 2:
+        x = x.mean(axis=1)
+    if sr is not None and sr != file_sr:
+        x = resample(x, file_sr, sr)
+        file_sr = sr
+    return x.astype(np.float32), int(file_sr)
+
+
+def get_duration(path: str) -> float:
+    """Duration in seconds (librosa.get_duration on a file)."""
+    x, sr = load_audio(path, sr=None, mono=True)
+    return len(x) / float(sr)
+
+
+def save_wav(path: str, x: np.ndarray, sr: int) -> None:
+    """Write float32 [-1, 1] audio as 16-bit PCM wav."""
+    data = np.clip(x, -1.0, 1.0)
+    wavfile.write(path, sr, (data * 32767.0).astype(np.int16))
+
+
+def pad_truncate(x: np.ndarray, max_len: int) -> np.ndarray:
+    """Zero-pad or truncate to ``max_len``
+    (``utils/utilities.py:66-71``)."""
+    if len(x) < max_len:
+        return np.concatenate(
+            (x, np.zeros(max_len - len(x), dtype=x.dtype)))
+    return x[:max_len]
