@@ -5,5 +5,5 @@ from sed_tpu.post.events import (
     frame_binary_prediction_to_event_prediction,
     write_submission,
 )
-from sed_tpu.post.merge import merge, avg_merge, overlap_add_windows
+from sed_tpu.post.merge import overlap_add_windows
 from sed_tpu.post.xml_writer import events_to_xml

@@ -1,0 +1,185 @@
+"""TPU-native SED serving engine: wav -> events -> XML.
+
+The reference serving loop runs batch-size-1, one window at a time, with a
+full host<->device round trip per window (``pytorch/predict.py:297-339``)
+— the main inefficiency this engine removes.  Here, all overlapped
+windows of a file (and windows of many files) are batched into a single
+jitted forward; only event decoding and XML stay host-side.
+
+Window schedule parity (``pytorch/predict.py:296-338``): windows advance
+1 s when ``--overlap`` else ``sample_duration`` s; window n >= 1 runs only
+while ``start + sample_duration <= duration``; short files still get one
+zero-padded window.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sed_tpu import config as sed_config
+from sed_tpu.config import AudioConfig, SedParams, PREDICT_SED_PARAMS
+from sed_tpu.data import audio_io
+import sed_tpu.post.events as post_events
+import sed_tpu.post.merge as post_merge
+from sed_tpu.post import xml_writer
+
+
+def window_starts(duration: float, sample_duration: int,
+                  overlap: bool) -> List[float]:
+    """Start offsets (seconds) of the reference's sliding-window loop."""
+    step = 1 if overlap else sample_duration
+    starts = [0.0]
+    start = step
+    while start + sample_duration <= duration:
+        starts.append(float(start))
+        start += step
+    return starts
+
+
+class SedInferenceEngine:
+    """Batched jitted inference over fixed-shape window batches.
+
+    Args:
+      model: a flax model from the registry.
+      variables: its variables ({'params', 'batch_stats'}).
+      cfg: audio quality config.
+      sample_duration: window length in seconds (reference ``--sample_duration``).
+      overlap: 1 s hop when True else non-overlapped windows.
+      overlap_value: merge hop in seconds (reference ``--overlap_value``).
+      sed_params: event-decoding thresholds.
+      batch_size: device batch for the jitted forward (windows are padded
+        up to a multiple of this, so exactly one compilation happens).
+    """
+
+    def __init__(self, model, variables, cfg: AudioConfig,
+                 sample_duration: int = 5, overlap: bool = True,
+                 overlap_value: float = 1.0,
+                 sed_params: SedParams = PREDICT_SED_PARAMS,
+                 batch_size: int = 32,
+                 labels: Sequence[str] = sed_config.LABELS):
+        self.model = model
+        self.variables = variables
+        self.cfg = cfg
+        self.sample_duration = sample_duration
+        self.overlap = overlap
+        self.overlap_value = overlap_value
+        self.sed_params = sed_params
+        self.batch_size = batch_size
+        self.labels = labels
+        self.window_samples = cfg.sample_rate * sample_duration
+
+        def _forward(variables, wav):
+            out = model.apply(variables, wav, train=False)
+            return out['framewise_output'], out['clipwise_output']
+
+        self._forward = jax.jit(_forward)
+
+    # ------------------------------------------------------------------
+    # core batched forward
+    # ------------------------------------------------------------------
+
+    def infer_framewise(self, wavs: np.ndarray) -> Tuple[np.ndarray,
+                                                         np.ndarray]:
+        """(N, window_samples) float32 -> (framewise (N, T, C), clipwise).
+
+        Pads N up to a multiple of batch_size so the jit cache holds a
+        single entry.
+        """
+        n = wavs.shape[0]
+        bs = self.batch_size
+        frames, clips = [], []
+        for i in range(0, n, bs):
+            chunk = wavs[i:i + bs]
+            pad = bs - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:],
+                                     chunk.dtype)], axis=0)
+            f, c = self._forward(self.variables, jnp.asarray(chunk))
+            frames.append(np.asarray(f))
+            clips.append(np.asarray(c))
+        framewise = np.concatenate(frames, axis=0)[:n]
+        clipwise = np.concatenate(clips, axis=0)[:n]
+        return framewise, clipwise
+
+    # ------------------------------------------------------------------
+    # file / waveform prediction
+    # ------------------------------------------------------------------
+
+    def predict_waveform(self, audio: np.ndarray,
+                         audio_name: str = 'audio') -> List[dict]:
+        """Full waveform (already at cfg.sample_rate) -> event list."""
+        duration = len(audio) / float(self.cfg.sample_rate)
+        starts = window_starts(duration, self.sample_duration, self.overlap)
+        sr = self.cfg.sample_rate
+        windows = np.stack([
+            audio_io.pad_truncate(
+                audio[int(s * sr):int(s * sr) + self.window_samples],
+                self.window_samples)
+            for s in starts])
+        framewise, _ = self.infer_framewise(windows)
+        merged = post_merge.overlap_add_windows(
+            framewise, self.sample_duration, self.overlap_value)
+        return post_events.frame_prediction_to_event_prediction_v2(
+            merged, audio_name, self.sed_params,
+            self.cfg.frames_per_second, self.labels)
+
+    def predict_file(self, path: str) -> Tuple[List[dict], str]:
+        """Audio file -> (event list sorted by onset, XML string)."""
+        audio, _ = audio_io.load_audio(path, sr=self.cfg.sample_rate)
+        duration = len(audio) / float(self.cfg.sample_rate)
+        name = os.path.basename(path)
+        events = sorted(self.predict_waveform(audio, name),
+                        key=lambda e: e['onset'])
+        starts = window_starts(duration, self.sample_duration, self.overlap)
+        # the reference's fallback span: [last start, min(duration, end)]
+        last_start = starts[-1] + (1 if self.overlap
+                                   else self.sample_duration)
+        end = min(duration, last_start + self.sample_duration)
+        xml = xml_writer.events_to_xml(events, name,
+                                       fallback_span=(last_start, end))
+        return events, xml
+
+    # ------------------------------------------------------------------
+    # bulk clip API (the 1000 clips/s path)
+    # ------------------------------------------------------------------
+
+    def predict_clips(self, wavs: np.ndarray,
+                      names: Optional[List[str]] = None
+                      ) -> Tuple[List[List[dict]], List[str]]:
+        """N fixed-length clips -> per-clip (events, XML).
+
+        One window per clip (clip length == sample_duration): the whole
+        batch is one forward; decoding is the gated batch decoder.
+        """
+        n = wavs.shape[0]
+        if names is None:
+            names = [f'clip{i}.wav' for i in range(n)]
+        assert wavs.shape[1] == self.window_samples
+        framewise, _ = self.infer_framewise(wavs)
+        # single-window files still get avg_merge coverage division
+        # (pytorch/predict.py:349)
+        div = post_merge.coverage_counts(framewise.shape[1],
+                                         self.sample_duration,
+                                         self.overlap_value)
+        framewise = framewise / div[None, :, None]
+        flat = post_events.decode_batch(framewise, names, self.sed_params,
+                                        self.cfg.frames_per_second,
+                                        self.labels)
+        per_clip: List[List[dict]] = [[] for _ in range(n)]
+        index = {nm: i for i, nm in enumerate(names)}
+        for e in flat:
+            per_clip[index[e['filename']]].append(e)
+        xmls = [
+            xml_writer.events_to_xml(
+                sorted(evs, key=lambda e: e['onset']), names[i],
+                fallback_span=(0, self.sample_duration))
+            for i, evs in enumerate(per_clip)
+        ]
+        return per_clip, xmls

@@ -1,0 +1,79 @@
+"""Serving engine tests: window schedule, wav->XML, bulk clip API."""
+
+import re
+
+import jax
+import numpy as np
+import pytest
+
+from sed_tpu.config import AUDIO_16K, PREDICT_SED_PARAMS
+from sed_tpu.data import audio_io
+from sed_tpu.models.registry import get_model
+from sed_tpu.serve.engine import SedInferenceEngine, window_starts
+
+
+def test_window_starts_overlap_schedule():
+    # duration 12 s, 5 s windows, 1 s hop: starts 0..7
+    assert window_starts(12.0, 5, True) == [0.0, 1, 2, 3, 4, 5, 6, 7]
+    # short file -> single window
+    assert window_starts(3.0, 5, True) == [0.0]
+    # non-overlap
+    assert window_starts(12.0, 5, False) == [0.0, 5]
+    assert window_starts(15.0, 5, False) == [0.0, 5, 10]
+
+
+@pytest.fixture(scope='module')
+def engine():
+    cfg = AUDIO_16K
+    model = get_model('Cnn_9layers_Gru_FrameAtt', cfg)
+    wav = np.zeros((1, cfg.sample_rate * 5), np.float32)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, wav,
+                           train=False)
+    return SedInferenceEngine(model, variables, cfg, sample_duration=5,
+                              overlap=True, batch_size=8)
+
+
+def test_predict_waveform_event_pipeline(engine):
+    rng = np.random.RandomState(0)
+    audio = rng.uniform(-0.3, 0.3, AUDIO_16K.sample_rate * 12)
+    events = engine.predict_waveform(audio.astype(np.float32), 'x.wav')
+    for e in events:
+        assert 0.0 <= e['onset'] < e['offset'] <= 12.01
+        assert e['filename'] == 'x.wav'
+
+
+def test_predict_file_xml(engine, tmp_path):
+    rng = np.random.RandomState(1)
+    path = str(tmp_path / 'test.wav')
+    audio_io.save_wav(path, rng.uniform(-0.3, 0.3, AUDIO_16K.sample_rate * 7),
+                      AUDIO_16K.sample_rate)
+    events, xml = engine.predict_file(path)
+    assert xml.startswith('<AudioDoc name="test.wav">')
+    assert xml.endswith('</AudioDoc>')
+    # either real segments or the "Others" fallback
+    assert ('<SoundSegment' in xml)
+    if not events:
+        assert 'Others' in xml
+
+
+def test_predict_clips_bulk(engine):
+    rng = np.random.RandomState(2)
+    wavs = rng.uniform(-0.3, 0.3,
+                       (5, AUDIO_16K.sample_rate * 5)).astype(np.float32)
+    per_clip, xmls = engine.predict_clips(wavs)
+    assert len(per_clip) == 5 and len(xmls) == 5
+    for xml in xmls:
+        assert re.match(r'<AudioDoc name="clip\d+\.wav">', xml)
+
+
+def test_bulk_matches_per_file(engine):
+    """predict_clips must agree with predict_waveform for 5 s clips."""
+    rng = np.random.RandomState(3)
+    wavs = rng.uniform(-0.3, 0.3,
+                       (3, AUDIO_16K.sample_rate * 5)).astype(np.float32)
+    per_clip, _ = engine.predict_clips(wavs, names=['a', 'b', 'c'])
+    for i, name in enumerate(['a', 'b', 'c']):
+        want = engine.predict_waveform(wavs[i], name)
+        got = sorted(per_clip[i], key=lambda e: (e['onset'], e['event_label']))
+        want = sorted(want, key=lambda e: (e['onset'], e['event_label']))
+        assert got == want
