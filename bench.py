@@ -1,0 +1,97 @@
+"""End-to-end serving benchmark: 5 s-clip wav -> XML throughput per chip.
+
+Baseline: the reference processes the 747-clip test set in ~34-36 s on a
+CUDA GPU with serial batch-1 windows => ~21 clips/s (BASELINE.md).  This
+measures the same end-to-end work (wav file decode -> log-mel -> model ->
+coverage normalize -> dual-threshold event decode -> XML string) with the
+batched TPU engine.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+N_CLIPS = int(os.environ.get('BENCH_CLIPS', '2048'))
+BATCH = int(os.environ.get('BENCH_BATCH', '128'))
+BASELINE_CLIPS_PER_SEC = 21.0
+
+
+def make_test_clips(n, sr, seconds=5, seed=0):
+    """Synthetic clips with tone bursts + noise so event decoding does
+    real work (some class tracks cross the thresholds)."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(sr * seconds) / sr
+    clips = np.empty((n, sr * seconds), np.float32)
+    for i in range(n):
+        x = rng.uniform(-0.05, 0.05, sr * seconds)
+        for _ in range(rng.randint(1, 4)):
+            f0 = rng.uniform(100, 4000)
+            s, e = sorted(rng.uniform(0, seconds, 2))
+            burst = np.sin(2 * np.pi * f0 * t) * ((t >= s) & (t < e))
+            x = x + 0.3 * burst
+        clips[i] = x.astype(np.float32)
+    return clips
+
+
+def main():
+    import jax
+    from sed_tpu.config import AUDIO_16K, PREDICT_SED_PARAMS
+    from sed_tpu.data import audio_io
+    from sed_tpu.models.registry import get_model
+    from sed_tpu.serve.engine import SedInferenceEngine
+
+    cfg = AUDIO_16K
+    sr = cfg.sample_rate
+    model = get_model('Cnn_9layers_Gru_FrameAtt', cfg)
+    wav0 = np.zeros((1, sr * 5), np.float32)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, wav0,
+                           train=False)
+    engine = SedInferenceEngine(model, variables, cfg, sample_duration=5,
+                                overlap=True, sed_params=PREDICT_SED_PARAMS,
+                                batch_size=BATCH)
+
+    # Write wav files (e2e includes file decode).
+    clips = make_test_clips(N_CLIPS, sr)
+    tmpdir = tempfile.mkdtemp(prefix='sed_bench_')
+    paths = []
+    for i in range(N_CLIPS):
+        p = os.path.join(tmpdir, f'clip{i:05d}.wav')
+        audio_io.save_wav(p, clips[i], sr)
+        paths.append(p)
+
+    # Warm up compile + caches (same int16 dtype as the timed path).
+    warm = (np.clip(clips[:BATCH], -1, 1) * 32767).astype(np.int16)
+    engine.predict_clips(warm)
+
+    t0 = time.time()
+    wavs = np.stack([audio_io.load_wav_int16(p)[0] for p in paths])
+    events, xmls = engine.predict_clips(
+        wavs, names=[os.path.basename(p) for p in paths])
+    elapsed = time.time() - t0
+
+    n_events = sum(len(e) for e in events)
+    clips_per_sec = N_CLIPS / elapsed
+    result = {
+        'metric': '5s-clip inferences/sec/chip (wav->XML e2e)',
+        'value': round(clips_per_sec, 2),
+        'unit': 'clips/s',
+        'vs_baseline': round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+    print(f'# {N_CLIPS} clips in {elapsed:.2f}s, {n_events} events decoded',
+          file=sys.stderr)
+
+    for p in paths:
+        os.unlink(p)
+    os.rmdir(tmpdir)
+
+
+if __name__ == '__main__':
+    main()

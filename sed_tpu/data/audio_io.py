@@ -80,6 +80,21 @@ def load_audio(path: str, sr: Optional[int] = None,
     return x.astype(np.float32), int(file_sr)
 
 
+def load_wav_int16(path: str) -> Tuple[np.ndarray, int]:
+    """Load a 16-bit PCM wav without float conversion (the serving engine
+    dequantizes on device, halving host->device traffic)."""
+    sr, data = wavfile.read(path)
+    data = np.asarray(data)
+    if data.dtype != np.int16:
+        x = _to_float32(data)
+        if x.ndim == 2:
+            x = x.mean(axis=1)
+        return (np.clip(x, -1, 1) * 32767.0).astype(np.int16), int(sr)
+    if data.ndim == 2:
+        data = data.mean(axis=1).astype(np.int16)
+    return data, int(sr)
+
+
 def get_duration(path: str) -> float:
     """Duration in seconds (librosa.get_duration on a file)."""
     x, sr = load_audio(path, sr=None, mono=True)

@@ -1,0 +1,139 @@
+"""Data pipeline tests: CSV parsing, targets, HDF5 pack, samplers, loader."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from sed_tpu.config import AUDIO_16K, CLASSES_NUM, LABELS
+from sed_tpu.data import audio_io, metadata
+from sed_tpu.data.dataset import (AudiosetDataset, DataLoader, TestSampler,
+                                  TrainSampler, collate_fn, cycle_iteration,
+                                  shard_for_host)
+from sed_tpu.data.hdf5_pack import (float32_to_int16, int16_to_float32,
+                                    hdf5_filename, pack_audio_files_to_hdf5)
+
+
+def test_weak_csv_formats(tmp_path):
+    p = tmp_path / 'training_set.csv'
+    p.write_text('-5QrBL6MzLg,60.000,70.000,"Applause,Siren",/m/x\n'
+                 'abc,30.000,40.000,Cough,/m/y\n')
+    metas = metadata.read_weak_csv(str(p), 'training')
+    assert metas[0]['audio_name'] == '-5QrBL6MzLg_60.wav'
+    assert metas[0]['labels'] == ['Applause', 'Siren']
+    assert metas[1]['audio_name'] == 'abc_30.wav'
+
+    # evaluation format: tab-separated, one label per row, merged
+    q = tmp_path / 'eval.csv'
+    q.write_text('a.wav\t30.0\t40.0\tApplause\na.wav\t30.0\t40.0\tSiren\n')
+    metas = metadata.read_weak_csv(str(q), 'evaluation')
+    assert len(metas) == 1
+    assert metas[0]['labels'] == ['Applause', 'Siren']
+
+
+def test_strong_csv_and_targets(tmp_path):
+    p = tmp_path / 'strong.csv'
+    p.write_text('a.wav,0.917,2.029,Applause\na.wav,4.0,7.0,Siren\n')
+    meta = metadata.read_strong_csv(str(p))
+    assert len(meta['a.wav']) == 2
+    tgt = metadata.get_strong_target('a.wav', meta, 1000, 100)
+    assert tgt.shape == (1000, CLASSES_NUM)
+    k = LABELS.index('Applause')
+    # bgn = round(0.917*100) = 92, end = round(2.029*100)+1 = 204
+    assert tgt[92, k] and tgt[203, k]
+    assert not tgt[91, k] and not tgt[204, k]
+
+    weak = metadata.get_weak_target(['Cough', 'Siren'])
+    assert weak.sum() == 2 and weak[LABELS.index('Cough')]
+
+
+def test_int16_roundtrip():
+    x = np.asarray([0.0, 0.5, -0.25, 1.5])  # over-range triggers peak norm
+    q = float32_to_int16(x.copy())
+    back = int16_to_float32(q)
+    assert np.abs(back).max() <= 1.0
+    np.testing.assert_allclose(back, x / 1.5, atol=1e-4)
+
+
+@pytest.fixture
+def packed(tmp_path):
+    cfg = AUDIO_16K
+    audios = tmp_path / 'audios'
+    audios.mkdir()
+    rng = np.random.RandomState(0)
+    names = []
+    for i in range(4):
+        name = f'clip{i}_0.wav'
+        audio_io.save_wav(str(audios / name),
+                          rng.uniform(-0.4, 0.4, cfg.sample_rate * 10),
+                          cfg.sample_rate)
+        names.append(name)
+    csv_path = tmp_path / 'strong_training_set.csv'
+    csv_path.write_text(''.join(
+        f'clip{i},0.0,10.0,Applause,/m/x\n' for i in range(4)))
+    strong_path = tmp_path / 'strong_meta.csv'
+    strong_path.write_text(''.join(
+        f'clip{i}_0.wav,1.0,3.0,Applause\n' for i in range(4)))
+    out = str(tmp_path / hdf5_filename('strong_training', 'logmel', '16k'))
+    pack_audio_files_to_hdf5(str(audios), str(csv_path), out,
+                             'strong_training', cfg,
+                             strong_csv_path=str(strong_path))
+    return out, cfg
+
+
+def test_pack_schema(packed):
+    out, cfg = packed
+    with h5py.File(out, 'r') as hf:
+        assert hf['waveform'].shape == (4, cfg.audio_samples)
+        assert hf['waveform'].dtype == np.int16
+        assert hf['target'].shape == (4, CLASSES_NUM)
+        assert hf['strong_target'].shape == (4, 1000, CLASSES_NUM)
+        assert hf['audio_name'][0] == b'clip0_0.wav'
+        k = LABELS.index('Applause')
+        assert hf['target'][0][k]
+        assert hf['strong_target'][0][100, k]
+        assert not hf['strong_target'][0][99, k]
+
+
+def test_dataset_and_samplers(packed):
+    out, cfg = packed
+    ds = AudiosetDataset()
+    item = ds[{'hdf5_path': out, 'index_in_hdf5': 1}]
+    assert item['audio_name'] == 'clip1_0.wav'
+    assert item['waveform'].dtype == np.float32
+    assert item['waveform'].shape == (cfg.audio_samples,)
+
+    # seeded train sampler is deterministic
+    s1 = list(zip(range(3), TrainSampler(out, 2)))
+    s2 = list(zip(range(3), TrainSampler(out, 2)))
+    for (_, a), (_, b) in zip(s1, s2):
+        assert a == b
+
+    # test sampler covers everything once
+    seen = [m['index_in_hdf5'] for batch in TestSampler(out, 3)
+            for m in batch]
+    assert sorted(seen) == [0, 1, 2, 3]
+    ds.close()
+
+
+def test_loader_prefetch_and_cycle(packed):
+    out, cfg = packed
+    ds = AudiosetDataset()
+    loader = DataLoader(ds, TestSampler(out, 2))
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]['waveform'].shape == (2, cfg.audio_samples)
+    assert batches[0]['strong_target'].shape == (2, 1000, CLASSES_NUM)
+
+    it = cycle_iteration(DataLoader(ds, TestSampler(out, 4)))
+    a = next(it)
+    b = next(it)  # cycles back
+    assert a['waveform'].shape == b['waveform'].shape
+    ds.close()
+
+
+def test_shard_for_host():
+    batch = {'x': np.arange(8)}
+    out = shard_for_host(batch, process_index=1, process_count=2)
+    np.testing.assert_array_equal(out['x'], [4, 5, 6, 7])
