@@ -1,0 +1,106 @@
+"""Shared CLI plumbing: quality flags, workspace paths, model loading."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Tuple
+
+from sed_tpu.config import AudioConfig, get_audio_config
+from sed_tpu.utils.paths import Workspace
+
+
+def add_common_args(parser: argparse.ArgumentParser,
+                    require_dataset: bool = True):
+    parser.add_argument('--dataset_dir', type=str,
+                        required=require_dataset,
+                        help='Directory of the dataset.')
+    parser.add_argument('--workspace', type=str, required=True,
+                        help='Directory of your workspace.')
+    parser.add_argument('--filename', type=str, default='main_strong')
+    parser.add_argument('--holdout_fold', type=str, default='1',
+                        choices=['1'])
+    parser.add_argument('--model_type', type=str,
+                        default='Cnn_9layers_Gru_FrameAtt')
+    parser.add_argument('--loss_type', type=str, default='clip_bce')
+    parser.add_argument('--augmentation', type=str, default='none',
+                        choices=['none', 'spec_augment', 'timeshift',
+                                 'mixup', 'timeshift_mixup',
+                                 'specaugment_timeshift_mixup',
+                                 'specaugment_mixup',
+                                 'specaugment_timeshift'])
+    parser.add_argument('--batch_size', type=int, default=32)
+    parser.add_argument('--feature_type', type=str, default='logmel')
+    parser.add_argument('--audio_8k', action='store_true', default=False)
+    parser.add_argument('--audio_16k', action='store_true', default=False)
+    parser.add_argument('--mini_data', action='store_true', default=False)
+    parser.add_argument('--sed_thresholds', action='store_true',
+                        default=False)
+    # accepted for reference-CLI compatibility; devices come from JAX
+    parser.add_argument('--cuda', action='store_true', default=False)
+
+
+def resolve(args) -> Tuple[AudioConfig, Workspace]:
+    cfg = get_audio_config(audio_8k=args.audio_8k, audio_16k=args.audio_16k)
+    ws = Workspace(root=args.workspace, filename=args.filename,
+                   holdout_fold=args.holdout_fold,
+                   model_type=args.model_type, loss_type=args.loss_type,
+                   augmentation=args.augmentation,
+                   batch_size=args.batch_size)
+    return cfg, ws
+
+
+def hdf5_path(args, cfg: AudioConfig, data_type: str) -> str:
+    prefix = 'minidata_' if args.mini_data else ''
+    return os.path.join(
+        args.workspace, 'hdf5s',
+        f'{prefix}{data_type}_{args.feature_type}_{cfg.name}.h5')
+
+
+def reference_csv_paths(args) -> dict:
+    """Ground-truth csv layout (``pytorch/main_strong.py:141-146``)."""
+    return {
+        'valid': os.path.join(
+            args.dataset_dir, 'metadata', 'strong',
+            'groundtruth_strong_label_strong_validation_set.csv'),
+        'test': os.path.join(
+            args.dataset_dir, 'metadata',
+            'groundtruth_strong_label_testing_set.csv'),
+    }
+
+
+def load_sed_params(args, cfg: AudioConfig, ws: Workspace,
+                    default):
+    """Optimized thresholds pickle or defaults
+    (``pytorch/predict.py:244-257``)."""
+    from sed_tpu.config import SedParams
+    if args.sed_thresholds:
+        import pickle
+        with open(ws.sed_thresholds_path(args.feature_type, cfg.name),
+                  'rb') as f:
+            return SedParams.from_dict(pickle.load(f))
+    return default
+
+
+def build_model_and_variables(args, cfg: AudioConfig, ws: Workspace,
+                              checkpoint: Optional[str] = None):
+    """Model from the registry + variables from a checkpoint (Orbax dir
+    or reference .pth) or fresh init."""
+    import jax
+    import numpy as np
+    from sed_tpu.models.registry import get_model
+    model = get_model(args.model_type, cfg, feature_type=args.feature_type)
+    path = checkpoint
+    if path is None:
+        orbax = ws.checkpoint_path(args.feature_type, cfg.name)
+        pth = ws.torch_checkpoint_path(args.feature_type, cfg.name)
+        path = orbax if os.path.isdir(orbax) else (
+            pth if os.path.isfile(pth) else None)
+    if path is not None:
+        from sed_tpu.train.checkpoint import load_variables
+        variables = load_variables(path)
+    else:
+        wav = np.zeros((1, cfg.audio_samples), np.float32)
+        variables = model.init({'params': jax.random.PRNGKey(0)}, wav,
+                               train=False)
+    return model, variables

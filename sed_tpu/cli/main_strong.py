@@ -1,0 +1,362 @@
+"""Joint weak+strong training and inference CLI.
+
+Command-line parity with the reference driver
+(``pytorch/main_strong.py:1314-1408``): subcommands ``train``,
+``inference_prob``, ``inference_prob_overlap``, ``inference_prob_vote``.
+
+The train loop is the reference's (``main_strong.py:40-413``) rebuilt
+TPU-first: one jitted train step does both forwards + augmentation +
+AMSGrad update on device; evaluation every 1000 iterations on the strong
+validation and test splits; best checkpoint by validation framewise mAP
+and error rate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import pickle
+import time
+
+import numpy as np
+
+from sed_tpu import losses as losses_lib
+from sed_tpu.cli import common
+from sed_tpu.config import CLASSES_NUM, EVAL_SED_PARAMS, SedParams
+from sed_tpu.data.dataset import (AudiosetDataset, DataLoader, TestSampler,
+                                  TrainSampler, cycle_iteration)
+from sed_tpu.eval.calculate_metrics import get_metric
+from sed_tpu.eval.evaluator import Evaluator
+from sed_tpu.eval import segment_metrics
+import sed_tpu.post.events as post_events
+import sed_tpu.post.merge as post_merge
+from sed_tpu.utils.logging_utils import create_logging
+from sed_tpu.utils.statistics import StatisticsContainer
+
+
+def train(args):
+    import jax
+    import jax.numpy as jnp
+    from sed_tpu.augment.functional import MixupGenerator
+    from sed_tpu.models.registry import get_model
+    from sed_tpu.parallel import mesh as mesh_lib
+    from sed_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from sed_tpu.train.state import create_train_state
+    from sed_tpu.train.step import make_train_step
+
+    cfg, ws = common.resolve(args)
+    mixup = 'mixup' in args.augmentation
+    timeshift = 'timeshift' in args.augmentation
+    spec_augment = 'specaugment' in args.augmentation
+
+    create_logging(ws.logs_dir(create=True))
+    logging.info(args)
+
+    refs = common.reference_csv_paths(args)
+    weak_h5 = common.hdf5_path(args, cfg, 'weak_training')
+    strong_h5 = common.hdf5_path(args, cfg, 'strong_training')
+    valid_h5 = common.hdf5_path(args, cfg, 'strong_validation')
+    test_h5 = common.hdf5_path(args, cfg, 'testing')
+
+    dataset = AudiosetDataset()
+    # batch-size scheme: weak x3, doubled under mixup
+    # (``main_strong.py:229-236``)
+    weak_bs = (args.batch_size * 3) * 2 if mixup else args.batch_size
+    strong_bs = args.batch_size * 2 if mixup else args.batch_size
+    weak_iter = cycle_iteration(
+        DataLoader(dataset, TrainSampler(weak_h5, weak_bs)))
+    strong_iter = cycle_iteration(
+        DataLoader(dataset, TrainSampler(strong_h5, strong_bs)))
+    strong_iters = [strong_iter]
+    if getattr(args, 'fsd50k', False):
+        fsd_h5 = os.path.join(
+            args.workspace, 'hdf5s',
+            ('minidata_' if args.mini_data else '') + 'strong_fsd50k.h5')
+        strong_iters.append(cycle_iteration(
+            DataLoader(dataset, TrainSampler(fsd_h5, strong_bs))))
+    valid_loader = DataLoader(dataset, TestSampler(valid_h5,
+                                                   args.batch_size))
+    test_loader = DataLoader(dataset, TestSampler(test_h5, args.batch_size))
+
+    model = get_model(args.model_type, cfg, feature_type=args.feature_type)
+    # data-parallel width: the largest device count dividing every batch
+    # stream (batch axes must split evenly over the mesh)
+    import math
+    g = math.gcd(weak_bs, strong_bs)
+    n_mesh = min(jax.device_count(), g)
+    while n_mesh > 1 and g % n_mesh:
+        n_mesh -= 1
+    mesh = mesh_lib.make_mesh(n_mesh) if n_mesh > 1 else None
+    if mesh is not None:
+        logging.info('data-parallel mesh over %d devices', n_mesh)
+
+    example = np.zeros((1, cfg.audio_samples), np.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(example),
+                               learning_rate=args.learning_rate)
+    ckpt_dir = ws.checkpoint_path(args.feature_type, cfg.name, create=True)
+    iteration = 0
+    if args.resume_iteration > 0 and os.path.isdir(ckpt_dir):
+        state = restore_checkpoint(ckpt_dir, state)
+        iteration = int(state.step)
+        logging.info('resumed from %s at iteration %d', ckpt_dir, iteration)
+    if mesh is not None:
+        state = jax.device_put(state, mesh_lib.replicated_sharding(mesh))
+
+    step_fn = make_train_step(
+        model, losses_lib.get_loss_func(args.loss_type),
+        losses_lib.get_loss_func('frame_bce'),
+        mixup=mixup, timeshift=timeshift, spec_augment=spec_augment,
+        mesh=mesh)
+
+    evaluator = Evaluator(model, EVAL_SED_PARAMS,
+                          batch_size=args.batch_size)
+    statistics_container = StatisticsContainer(
+        ws.statistics_path(args.feature_type, cfg.name, create=True))
+    submission = ws.submission_path(create=True)
+    mixup_gen = MixupGenerator(mixup_alpha=1.0)
+
+    best_er, best_map, best_iteration = 10000.0, 0.0, 0
+    rng = jax.random.PRNGKey(1234)
+    train_bgn_time = time.time()
+
+    while iteration != args.stop_iteration:
+        if (iteration % args.eval_interval == 0
+                and iteration > args.resume_iteration):
+            logging.info('------------------------------------')
+            logging.info('Iteration: %d', iteration)
+            train_fin_time = time.time()
+            params, batch_stats = state.params, state.batch_stats
+            for data_type, loader, ref_csv in [
+                    ('valid', valid_loader, refs['valid']),
+                    ('test', test_loader, refs['test'])]:
+                statistics, _ = evaluator.evaluate(
+                    params, batch_stats, loader, ref_csv, submission,
+                    cfg.frames_per_second)
+                logging.info('%s statistics:', data_type)
+                logging.info('    Clipwise mAP: %.3f',
+                             np.nanmean(statistics['clipwise_ap']))
+                logging.info('    Framewise mAP: %.3f',
+                             np.nanmean(statistics['framewise_ap']))
+                logging.info(
+                    '    %s',
+                    statistics['sed_metrics']['overall']['error_rate'])
+                statistics_container.append(data_type, iteration,
+                                            statistics)
+                if data_type == 'valid':
+                    fmap = np.nanmean(statistics['framewise_ap'])
+                    er = statistics['sed_metrics']['overall'][
+                        'error_rate']['error_rate']
+                    if fmap >= best_map and er < best_er:
+                        best_map, best_er, best_iteration = \
+                            fmap, er, iteration
+                        save_checkpoint(ckpt_dir, state)
+                        logging.info('Model saved to %s for iteration %d',
+                                     ckpt_dir, iteration)
+            statistics_container.dump()
+            logging.info('Train time: %.3f s, validate time: %.3f s',
+                         train_fin_time - train_bgn_time,
+                         time.time() - train_fin_time)
+            train_bgn_time = time.time()
+
+        weak_batch = next(weak_iter)
+        strong_batches = [next(it) for it in strong_iters]
+        if mixup:
+            weak_batch['mixup_lambda'] = mixup_gen.get_lambda(
+                len(weak_batch['waveform'])).astype(np.float32)
+            for b in strong_batches:
+                b['mixup_lambda'] = mixup_gen.get_lambda(
+                    len(b['waveform'])).astype(np.float32)
+        for b in (weak_batch, *strong_batches):
+            b.pop('audio_name', None)
+        weak_batch.pop('strong_target', None)
+        if mesh is not None:
+            weak_batch = mesh_lib.shard_batch(weak_batch, mesh)
+            strong_batches = [mesh_lib.shard_batch(b, mesh)
+                              for b in strong_batches]
+
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = step_fn(state, weak_batch, strong_batches,
+                                 step_rng)
+        if iteration % 100 == 0:
+            logging.info(
+                '%d iteration - weak: %.4f, strong: %.4f, total: %.4f',
+                iteration, float(metrics['weak_loss']),
+                float(metrics['strong_loss']), float(metrics['loss']))
+
+        iteration += 1
+        if iteration == args.stop_iteration:
+            logging.info('    Best iteration: %d', best_iteration)
+            break
+
+
+def inference_prob(args):
+    """Batch test-set inference + metrics (``main_strong.py:416-593``)."""
+    cfg, ws = common.resolve(args)
+    refs = common.reference_csv_paths(args)
+    model, variables = common.build_model_and_variables(args, cfg, ws)
+    sed_params = common.load_sed_params(args, cfg, ws, EVAL_SED_PARAMS)
+
+    dataset = AudiosetDataset()
+    test_loader = DataLoader(
+        dataset, TestSampler(common.hdf5_path(args, cfg, 'testing'),
+                             args.batch_size))
+    evaluator = Evaluator(model, sed_params, batch_size=args.batch_size)
+    submission = ws.submission_path(create=True)
+
+    t0 = time.time()
+    statistics, output_dict = evaluator.evaluate(
+        variables['params'], variables.get('batch_stats'), test_loader,
+        refs['test'], submission, cfg.frames_per_second)
+    results = statistics['sed_metrics']
+    print('Processing time: {} s\n'.format(time.time() - t0))
+    print('Micro precision: {:.3f}'.format(get_metric(results, 'precision')))
+    print('Micro recall: {:.3f}'.format(get_metric(results, 'recall')))
+    print('Micro F1: {:.3f}'.format(get_metric(results, 'f1')))
+    print('Micro ER: {:.3f}'.format(get_metric(results, 'er')))
+
+    # cache predictions for offline threshold optimization
+    # (``main_strong.py:571-577``)
+    pred_path = ws.predictions_path(
+        f'test_predictions_{args.feature_type}_{cfg.name}.pkl', create=True)
+    with open(pred_path, 'wb') as f:
+        pickle.dump(output_dict, f)
+    return statistics
+
+
+PARAM_COMBINATIONS = [[0.5, 6], [0.5, 7], [1, 5], [1, 6], [1, 7]]
+
+
+def _overlap_engine(args, cfg, model, variables, sed_params,
+                    overlap_value, sample_duration):
+    from sed_tpu.serve.engine import SedInferenceEngine
+    return SedInferenceEngine(
+        model, variables, cfg, sample_duration=sample_duration,
+        overlap=True, overlap_value=overlap_value, sed_params=sed_params,
+        batch_size=args.batch_size)
+
+
+def _test_clip_waveforms(args, cfg):
+    """Yield (audio_name, 10 s waveform) for every test clip from the
+    packed HDF5 (the reference re-decodes wavs from disk,
+    ``main_strong.py:787-790``; the packed waveforms are identical)."""
+    import h5py
+    from sed_tpu.data.hdf5_pack import int16_to_float32
+    with h5py.File(common.hdf5_path(args, cfg, 'testing'), 'r') as hf:
+        for i in range(len(hf['audio_name'])):
+            yield (hf['audio_name'][i].decode(),
+                   int16_to_float32(hf['waveform'][i]))
+
+
+def inference_prob_overlap(args):
+    """Sliding-window inference with framewise averaging over the
+    [overlap_value, window] grid (``main_strong.py:596-857``)."""
+    cfg, ws = common.resolve(args)
+    refs = common.reference_csv_paths(args)
+    model, variables = common.build_model_and_variables(args, cfg, ws)
+    sed_params = common.load_sed_params(args, cfg, ws, EVAL_SED_PARAMS)
+    submission = ws.submission_path(create=True)
+
+    all_results = {}
+    for overlap_value, sample_duration in PARAM_COMBINATIONS:
+        engine = _overlap_engine(args, cfg, model, variables, sed_params,
+                                 overlap_value, sample_duration)
+        t0 = time.time()
+        full_event_list = []
+        for audio_name, audio in _test_clip_waveforms(args, cfg):
+            full_event_list.extend(engine.predict_waveform(
+                audio, audio_name, duration=10.0, step=overlap_value))
+        print('Processing time for {}: {} s'.format(
+            [overlap_value, sample_duration], time.time() - t0))
+        post_events.write_submission(full_event_list, submission)
+        results = segment_metrics.official_evaluate(refs['test'],
+                                                    submission)
+        print('Micro F1: {:.3f}'.format(get_metric(results, 'f1')))
+        print('Micro ER: {:.3f} \n'.format(get_metric(results, 'er')))
+        all_results[(overlap_value, sample_duration)] = results
+    return all_results
+
+
+def inference_prob_vote(args):
+    """Sliding-window inference with per-window binarization + voting
+    (``main_strong.py:885-1122``)."""
+    cfg, ws = common.resolve(args)
+    refs = common.reference_csv_paths(args)
+    model, variables = common.build_model_and_variables(args, cfg, ws)
+    sed_params = common.load_sed_params(args, cfg, ws, EVAL_SED_PARAMS)
+    p = (sed_params.per_class(CLASSES_NUM)
+         if isinstance(sed_params, SedParams) else sed_params)
+    submission = ws.submission_path(create=True)
+
+    all_results = {}
+    for overlap_value, sample_duration in PARAM_COMBINATIONS:
+        engine = _overlap_engine(args, cfg, model, variables, sed_params,
+                                 overlap_value, sample_duration)
+        t0 = time.time()
+        full_event_list = []
+        thr = np.asarray(p['sed_high_threshold'])
+        for audio_name, audio in _test_clip_waveforms(args, cfg):
+            duration = 10.0
+            from sed_tpu.serve.engine import window_starts
+            starts = window_starts(duration, sample_duration, True,
+                                   overlap_value)
+            sr = cfg.sample_rate
+            from sed_tpu.data.audio_io import pad_truncate
+            windows = np.stack([
+                pad_truncate(
+                    audio[int(s * sr):int(s * sr) + engine.window_samples],
+                    engine.window_samples)
+                for s in starts])
+            framewise, _ = engine.infer_framewise(windows)
+            # binarize each window against the high threshold then
+            # overlap-add vote counts (``main_strong.py:870-883``)
+            binary = (framewise > thr[None, None, :]).astype(np.float64)
+            votes = post_merge.overlap_add_windows(
+                binary, sample_duration, overlap_value, normalize=False)
+            full_event_list.extend(
+                post_events.frame_binary_prediction_to_event_prediction(
+                    votes, overlap_value, sample_duration, audio_name,
+                    sed_params, cfg.frames_per_second))
+        print('Processing time for {}: {} s'.format(
+            [overlap_value, sample_duration], time.time() - t0))
+        post_events.write_submission(full_event_list, submission)
+        results = segment_metrics.official_evaluate(refs['test'],
+                                                    submission)
+        print('Micro F1: {:.3f}'.format(get_metric(results, 'f1')))
+        print('Micro ER: {:.3f} \n'.format(get_metric(results, 'er')))
+        all_results[(overlap_value, sample_duration)] = results
+    return all_results
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description='sed_tpu main_strong')
+    subparsers = parser.add_subparsers(dest='mode', required=True)
+    for mode in ('train', 'inference_prob', 'inference_prob_overlap',
+                 'inference_prob_vote'):
+        sub = subparsers.add_parser(mode)
+        common.add_common_args(sub)
+        if mode == 'train':
+            sub.add_argument('--learning_rate', type=float, default=1e-3)
+            sub.add_argument('--stop_iteration', type=int, default=50000)
+            sub.add_argument('--resume_iteration', type=int, default=0)
+            sub.add_argument('--eval_interval', type=int, default=1000)
+            sub.add_argument('--fsd50k', action='store_true',
+                             default=False)
+    return parser
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    if args.mode == 'train':
+        train(args)
+    elif args.mode == 'inference_prob':
+        inference_prob(args)
+    elif args.mode == 'inference_prob_overlap':
+        inference_prob_overlap(args)
+    elif args.mode == 'inference_prob_vote':
+        inference_prob_vote(args)
+
+
+if __name__ == '__main__':
+    main()

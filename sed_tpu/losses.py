@@ -10,10 +10,35 @@ import jax
 import jax.numpy as jnp
 
 
-def _bce(p: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+@jax.custom_vjp
+def _bce_elements(p: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     logp = jnp.maximum(jnp.log(p), -100.0)
     log1p = jnp.maximum(jnp.log1p(-p), -100.0)
-    return -jnp.mean(t * logp + (1.0 - t) * log1p)
+    return -(t * logp + (1.0 - t) * log1p)
+
+
+def _bce_elements_fwd(p, t):
+    return _bce_elements(p, t), (p, t)
+
+
+def _bce_elements_bwd(res, g):
+    # torch clamps the backward denominator at 1e-12; a plain autodiff of
+    # the clamped-log forward produces 0 * inf = NaN once a sigmoid
+    # saturates to exactly 0.0/1.0 in float32 (logits beyond ~+-17).
+    p, t = res
+    denom = jnp.maximum(p * (1.0 - p), 1e-12)
+    dp = g * (p - t) / denom
+    logp = jnp.maximum(jnp.log(p), -100.0)
+    log1p = jnp.maximum(jnp.log1p(-p), -100.0)
+    dt = g * (log1p - logp)
+    return dp, dt
+
+
+_bce_elements.defvjp(_bce_elements_fwd, _bce_elements_bwd)
+
+
+def _bce(p: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(_bce_elements(p, t))
 
 
 def _bce_logits(logits: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:

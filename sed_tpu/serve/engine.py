@@ -32,9 +32,17 @@ from sed_tpu.post import xml_writer
 
 
 def window_starts(duration: float, sample_duration: int,
-                  overlap: bool) -> List[float]:
-    """Start offsets (seconds) of the reference's sliding-window loop."""
-    step = 1 if overlap else sample_duration
+                  overlap: bool, step: Optional[float] = None
+                  ) -> List[float]:
+    """Start offsets (seconds) of the reference's sliding-window loop.
+
+    ``predict.py`` advances 1 s when ``--overlap`` else a full window
+    (``predict.py:334-338``); ``inference_prob_overlap`` advances
+    ``overlap_value`` s (``main_strong.py:829-831``) — pass ``step`` for
+    that case.
+    """
+    if step is None:
+        step = 1 if overlap else sample_duration
     starts = [0.0]
     start = step
     while start + sample_duration <= duration:
@@ -154,10 +162,19 @@ class SedInferenceEngine:
     # ------------------------------------------------------------------
 
     def predict_waveform(self, audio: np.ndarray,
-                         audio_name: str = 'audio') -> List[dict]:
-        """Full waveform (already at cfg.sample_rate) -> event list."""
-        duration = len(audio) / float(self.cfg.sample_rate)
-        starts = window_starts(duration, self.sample_duration, self.overlap)
+                         audio_name: str = 'audio',
+                         duration: Optional[float] = None,
+                         step: Optional[float] = None) -> List[dict]:
+        """Full waveform (already at cfg.sample_rate) -> event list.
+
+        ``duration`` may be passed separately (the reference schedules
+        windows by the original file duration even after pad/truncate,
+        ``main_strong.py:778-791``); ``step`` overrides the window hop.
+        """
+        if duration is None:
+            duration = len(audio) / float(self.cfg.sample_rate)
+        starts = window_starts(duration, self.sample_duration, self.overlap,
+                               step)
         sr = self.cfg.sample_rate
         windows = np.stack([
             audio_io.pad_truncate(
@@ -191,13 +208,11 @@ class SedInferenceEngine:
     # bulk clip API (the 1000 clips/s path)
     # ------------------------------------------------------------------
 
-    @staticmethod
-    def _bucket(k: int) -> int:
-        """Pad gather sizes to power-of-two buckets (bounded compile count)."""
-        b = 16
-        while b < k:
-            b *= 2
-        return b
+    @property
+    def _gather_chunk(self) -> int:
+        """Fixed gather size: exactly one compiled gather program and one
+        device->host transfer shape, no matter the event density."""
+        return max(64, self.batch_size)
 
     def predict_clips(self, wavs: np.ndarray,
                       names: Optional[List[str]] = None
@@ -222,6 +237,10 @@ class SedInferenceEngine:
         fps = float(self.cfg.frames_per_second)
         per_clip: List[List[dict]] = [[] for _ in range(n)]
 
+        # Phase A — dispatch every batch's forward asynchronously; JAX's
+        # async dispatch overlaps host->device transfers and compute of
+        # batch i+1 with the pulls and host decode of batch i.
+        handles = []
         for i0 in range(0, n, bs):
             chunk = wavs[i0:i0 + bs]
             pad = bs - chunk.shape[0]
@@ -229,34 +248,47 @@ class SedInferenceEngine:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:],
                                      chunk.dtype)], axis=0)
-            framewise_dev, _clipwise, track_max = self._forward_scan(
+            framewise_dev, _clipwise, track_max_dev = self._forward_scan(
                 self.variables, jnp.asarray(chunk))
-            track_max = np.asarray(track_max)[:bs - pad if pad else bs]
+            handles.append((i0, bs - pad, framewise_dev, track_max_dev))
+
+        # Phase B — pull tiny per-track maxima, dispatch active-track
+        # gathers (still async).
+        gathers = []
+        G = self._gather_chunk
+        for i0, valid, framewise_dev, track_max_dev in handles:
+            track_max = np.asarray(track_max_dev)[:valid]
             act_n, act_c = np.nonzero(track_max > high[None, :])
-            if act_n.size:
-                k = act_n.size
-                kb = self._bucket(k)
-                idx_n = np.zeros(kb, np.int32)
-                idx_c = np.zeros(kb, np.int32)
-                idx_n[:k] = act_n
-                idx_c[:k] = act_c
-                tracks = np.asarray(self._gather_tracks(
-                    framewise_dev, jnp.asarray(idx_n),
-                    jnp.asarray(idx_c)))[:k]
-                for j in range(k):
-                    pairs = vad.activity_detection(
-                        tracks[j],
-                        thres=p['sed_high_threshold'][act_c[j]],
-                        low_thres=p['sed_low_threshold'][act_c[j]],
-                        n_smooth=p['n_smooth'][act_c[j]],
-                        n_salt=p['n_salt'][act_c[j]])
-                    clip_i = i0 + int(act_n[j])
-                    for bgn, fin in pairs:
-                        per_clip[clip_i].append({
-                            'filename': names[clip_i],
-                            'onset': bgn / fps,
-                            'offset': fin / fps,
-                            'event_label': self.labels[act_c[j]]})
+            for j0 in range(0, act_n.size, G):
+                sub_n = act_n[j0:j0 + G]
+                sub_c = act_c[j0:j0 + G]
+                idx_n = np.zeros(G, np.int32)
+                idx_c = np.zeros(G, np.int32)
+                idx_n[:sub_n.size] = sub_n
+                idx_c[:sub_n.size] = sub_c
+                tracks_dev = self._gather_tracks(framewise_dev,
+                                                 jnp.asarray(idx_n),
+                                                 jnp.asarray(idx_c))
+                gathers.append((i0, sub_n, sub_c, tracks_dev))
+
+        # Phase C — pull gathered tracks and decode events on host.
+        for i0, act_n, act_c, tracks_dev in gathers:
+            tracks = np.asarray(tracks_dev)[:act_n.size]
+            for j in range(act_n.size):
+                c = int(act_c[j])
+                pairs = vad.activity_detection(
+                    tracks[j],
+                    thres=p['sed_high_threshold'][c],
+                    low_thres=p['sed_low_threshold'][c],
+                    n_smooth=p['n_smooth'][c],
+                    n_salt=p['n_salt'][c])
+                clip_i = i0 + int(act_n[j])
+                for bgn, fin in pairs:
+                    per_clip[clip_i].append({
+                        'filename': names[clip_i],
+                        'onset': bgn / fps,
+                        'offset': fin / fps,
+                        'event_label': self.labels[c]})
 
         xmls = [
             xml_writer.events_to_xml(

@@ -32,6 +32,26 @@ def test_bce_losses_match_torch():
     assert abs(got - want) < 1e-6
 
 
+def test_bce_grad_finite_at_saturation():
+    """Regression: saturated sigmoid outputs (exact 0.0/1.0 in f32) must
+    give finite gradients matching torch's clamped backward."""
+    torch = pytest.importorskip('torch')
+    p = np.asarray([[1.0, 0.0, 0.5, 1.0]], np.float32)
+    t = np.asarray([[0.0, 1.0, 1.0, 1.0]], np.float32)
+
+    def loss(p_):
+        return losses.clip_bce({'clipwise_output': p_},
+                               {'target': jnp.asarray(t)})
+
+    g = jax.grad(loss)(jnp.asarray(p))
+    assert np.isfinite(np.asarray(g)).all()
+
+    tp = torch.from_numpy(p).requires_grad_(True)
+    tl = torch.nn.functional.binary_cross_entropy(tp, torch.from_numpy(t))
+    tl.backward()
+    np.testing.assert_allclose(np.asarray(g), tp.grad.numpy(), rtol=1e-5)
+
+
 def test_frame_bce_truncates_to_min_frames():
     rng = np.random.RandomState(1)
     out = jnp.asarray(rng.uniform(0.01, 0.99, (2, 96, 5)).astype(np.float32))
