@@ -55,6 +55,40 @@ register('Cnn_14layers_Transformer_FrameAtt', temporal='multihead',
          pad_to_roundup=True)
 
 
+def _late_imports():
+    """Deferred so the registry module stays import-light."""
+    from sed_tpu.models.conformer_zoo import (ConformerSed,
+                                              TokenPoolingConformer)
+    from sed_tpu.models.vggish import VGGishSed
+    from sed_tpu.models.panns import Cnn14DecisionLevelAtt
+    return ConformerSed, TokenPoolingConformer, VGGishSed, \
+        Cnn14DecisionLevelAtt
+
+
+_ConformerSed, _TokenPool, _VGGishSed, _Cnn14 = _late_imports()
+
+# CNN + Conformer family (pytorch/models.py:1189-2218)
+register('Cnn_9layers_Conformer_FrameAtt', cls=_ConformerSed, head='att',
+         encoder_type='Conformer')
+register('Cnn_9layers_Conformer_FrameAvg', cls=_ConformerSed, head='avg',
+         encoder_type='Conformer')
+register('Cnn_14layers_Conformer_FrameAtt', cls=_ConformerSed, head='att',
+         encoder_type='Conformer',
+         conv_channels=(64, 128, 256, 512, 1024, 2048))
+register('Cnn_7layers_Conformer', cls=_TokenPool, backbone='baseline',
+         encoder_type='Conformer', interpolate_ratio=8)
+register('Cnn_9layers_Conformer', cls=_TokenPool, backbone='convblocks',
+         encoder_type='Conformer', interpolate_ratio=0)
+
+# VGGish transfer-learning family (pytorch/models.py:2284-2592)
+register('VGGish_FrameAtt', cls=_VGGishSed, head='att')
+register('VGGish_Gru_FrameAtt', cls=_VGGishSed, head='gru_att')
+register('VGGish_FrameAvg', cls=_VGGishSed, head='avg')
+
+# PANNs CNN14 (pytorch/models.py:2685-2783)
+register('Cnn14_DecisionLevelAtt', cls=_Cnn14)
+
+
 def get_model(model_type: str, cfg: AudioConfig, classes_num: int = 25,
               feature_type: str = 'logmel', bn_axis_name=None, **kwargs):
     """Instantiate a model by its reference name."""
