@@ -47,6 +47,11 @@ def make_test_clips(n, sr, seconds=5, seed=0):
 
 def main():
     import jax
+    # persistent compile cache: repeat bench runs skip the (slow) remote
+    # TPU compilation
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.expanduser('~/.cache/jax_sed'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     from sed_tpu.config import AUDIO_16K, PREDICT_SED_PARAMS
     from sed_tpu.data import audio_io
     from sed_tpu.models.registry import get_model

@@ -33,9 +33,10 @@ def _runs_from_mask(mask: np.ndarray):
     return starts, ends
 
 
-def _high_pairs(x: np.ndarray, thres: float):
-    """Pairs from the high threshold with the reference's +1 offsets."""
-    starts, ends = _runs_from_mask(x > thres)
+def _high_pairs_from_mask(high: np.ndarray):
+    """Pairs from the high-threshold mask with the reference's +1
+    offsets."""
+    starts, ends = _runs_from_mask(high)
     if starts.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     bgn = starts.copy()
@@ -45,11 +46,9 @@ def _high_pairs(x: np.ndarray, thres: float):
     return bgn, fin
 
 
-def _extend_low(x: np.ndarray, bgn: np.ndarray, fin: np.ndarray,
-                low_thres: float):
-    """Extend each pair to the boundary of the surrounding x >= low run."""
-    T = len(x)
-    low = x >= low_thres
+def _extend_low_mask(low: np.ndarray, bgn: np.ndarray, fin: np.ndarray):
+    """Extend each pair to the boundary of the surrounding low-mask run."""
+    T = len(low)
     starts, ends = _runs_from_mask(low)
 
     # run_start_at[t] = start of the low-run containing t (only valid if low[t])
@@ -103,19 +102,29 @@ def _remove_salt(bgn: np.ndarray, fin: np.ndarray, n_salt: int):
     return bgn[keep], fin[keep]
 
 
+def activity_detection_masks(high_mask, low_mask, n_smooth=1, n_salt=0):
+    """Mask-based decode core: the full algorithm only consumes the two
+    threshold-crossing masks (``x > high`` and ``x >= low``), never raw
+    probabilities — which lets the serving engine ship packed bitmasks
+    off-device instead of float tracks."""
+    bgn, fin = _high_pairs_from_mask(np.asarray(high_mask))
+    if low_mask is not None and bgn.size:
+        bgn, fin = _extend_low_mask(np.asarray(low_mask), bgn, fin)
+        bgn, fin = _smooth(bgn, fin, 1)
+    bgn, fin = _smooth(bgn, fin, n_smooth)
+    bgn, fin = _remove_salt(bgn, fin, n_salt)
+    return [[int(b), int(f)] for b, f in zip(bgn, fin)]
+
+
 def activity_detection(x, thres, low_thres=None, n_smooth=1, n_salt=0):
     """Decode one probability track into [bgn, fin] frame pairs.
 
     Matches ``utils/vad.py:11-45``.  Returns a list of [bgn, fin].
     """
     x = np.asarray(x)
-    bgn, fin = _high_pairs(x, thres)
-    if low_thres is not None and bgn.size:
-        bgn, fin = _extend_low(x, bgn, fin, low_thres)
-        bgn, fin = _smooth(bgn, fin, 1)
-    bgn, fin = _smooth(bgn, fin, n_smooth)
-    bgn, fin = _remove_salt(bgn, fin, n_salt)
-    return [[int(b), int(f)] for b, f in zip(bgn, fin)]
+    return activity_detection_masks(
+        x > thres, (x >= low_thres) if low_thres is not None else None,
+        n_smooth, n_salt)
 
 
 def _vote_locations(x: np.ndarray, overlap_value: float, sample_duration: int):
@@ -161,7 +170,9 @@ def activity_detection_binary(x, overlap_value, sample_duration, thres,
         fin = ends + 1
         fin[-1] -= 1
     if low_thres is not None and bgn.size:
-        bgn, fin = _extend_low(x, bgn, fin, low_thres)
+        # NB: the reference extends against raw vote counts here, so the
+        # low mask is count >= low_thres
+        bgn, fin = _extend_low_mask(x >= low_thres, bgn, fin)
         bgn, fin = _smooth(bgn, fin, 1)
     bgn, fin = _smooth(bgn, fin, n_smooth)
     bgn, fin = _remove_salt(bgn, fin, n_salt)
