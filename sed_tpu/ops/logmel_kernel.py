@@ -1,0 +1,97 @@
+"""Pallas TPU kernel: fused frame -> STFT -> |.|^2 -> mel -> log10.
+
+The reference computes this as four separate torch ops (conv1d re/im,
+square-add, mel matmul, log — ``pytorch/stft.py:157-734``).  Here the
+whole post-framing pipeline runs in one VMEM-resident kernel: a frames
+tile hits the MXU against the windowed-DFT matrix, the power spectrum and
+mel projection stay in VMEM, and only the (rows, mel_bins) log-mel tile
+is written back to HBM — the (rows, 2*bins) complex intermediate never
+touches HBM.
+
+Per 10 s 16 kHz clip this saves ~2 MB of HBM round-trip per clip versus
+the unfused path's intermediate spectrogram.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sed_tpu.config import AudioConfig
+from sed_tpu.dsp import filters
+from sed_tpu.dsp.frontend import frame_signal
+
+
+def _logmel_kernel(frames_ref, stft_ref, mel_ref, out_ref, *, n_bins,
+                   amin, db_shift):
+    re_im = jnp.dot(frames_ref[:], stft_ref[:],
+                    preferred_element_type=jnp.float32)
+    re = re_im[:, :n_bins]
+    im = re_im[:, n_bins:]
+    spec = re * re + im * im
+    mel = jnp.dot(spec, mel_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = 10.0 * jnp.log10(jnp.maximum(mel, amin)) - db_shift
+
+
+@functools.lru_cache(maxsize=8)
+def _matrices(cfg: AudioConfig):
+    stft_mat = filters.stft_matrices(cfg.window_size, cfg.window_size,
+                                     cfg.window).astype(np.float32)
+    mel_mat = filters.mel_filterbank(cfg.sample_rate, cfg.window_size,
+                                     cfg.mel_bins, cfg.fmin,
+                                     cfg.fmax).astype(np.float32)
+    return stft_mat, mel_mat
+
+
+def fused_logmel(wav: jnp.ndarray, cfg: AudioConfig, tile_rows: int = 256,
+                 interpret: bool | None = None) -> jnp.ndarray:
+    """(B, samples) -> (B, T, mel_bins) log-mel via one Pallas kernel.
+
+    Numerics match ``LogmelFrontend`` (librosa semantics: center reflect
+    pad, periodic Hann, power 2.0, amin, ref; top_db unsupported here —
+    the SED configs all use top_db=None).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == 'cpu'
+    stft_mat, mel_mat = _matrices(cfg)
+    n_fft = cfg.window_size
+    n_bins = n_fft // 2 + 1
+    mel_bins = cfg.mel_bins
+
+    frames = frame_signal(wav.astype(jnp.float32), n_fft, cfg.hop_size,
+                          center=cfg.center, pad_mode=cfg.pad_mode)
+    b, t, _ = frames.shape
+    rows = b * t
+    rows_padded = -(-rows // tile_rows) * tile_rows
+    flat = frames.reshape(rows, n_fft)
+    if rows_padded != rows:
+        flat = jnp.pad(flat, ((0, rows_padded - rows), (0, 0)))
+
+    kernel = functools.partial(
+        _logmel_kernel, n_bins=n_bins, amin=cfg.amin,
+        db_shift=10.0 * np.log10(max(cfg.amin, cfg.ref)))
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows_padded, mel_bins),
+                                       jnp.float32),
+        grid=(rows_padded // tile_rows,),
+        in_specs=[
+            pl.BlockSpec((tile_rows, n_fft), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_fft, 2 * n_bins), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bins, mel_bins), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_rows, mel_bins), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(flat, jnp.asarray(stft_mat), jnp.asarray(mel_mat))
+
+    return out[:rows].reshape(b, t, mel_bins)
