@@ -294,20 +294,34 @@ class SedInferenceEngine:
                                                  jnp.asarray(idx_c))
                 gathers.append((i0, sub_n, sub_c, tracks_dev))
 
-        # Phase C — pull the packed crossing masks and decode on host.
+        # Phase C — pull the packed crossing masks and decode on host
+        # (native batch decoder when g++ built it; numpy otherwise).
+        from sed_tpu.native.vad_native import (native_available,
+                                               decode_packed_tracks)
+        use_native = native_available()
         t_frames = self._out_frames
+        n_smooth_arr = np.asarray(p['n_smooth'], np.int32)
+        n_salt_arr = np.asarray(p['n_salt'], np.int32)
         for i0, act_n, act_c, tracks_dev in gathers:
             packed = np.asarray(tracks_dev)[:act_n.size]   # (K, T/8, 2)
-            high_bits = np.unpackbits(
-                packed[:, :, 0], axis=1)[:, :t_frames].astype(bool)
-            low_bits = np.unpackbits(
-                packed[:, :, 1], axis=1)[:, :t_frames].astype(bool)
-            for j in range(act_n.size):
+            if use_native:
+                all_pairs = decode_packed_tracks(
+                    packed[:, :, 0], packed[:, :, 1], t_frames,
+                    n_smooth_arr[act_c], n_salt_arr[act_c])
+            else:
+                high_bits = np.unpackbits(
+                    packed[:, :, 0], axis=1)[:, :t_frames].astype(bool)
+                low_bits = np.unpackbits(
+                    packed[:, :, 1], axis=1)[:, :t_frames].astype(bool)
+                all_pairs = [
+                    vad.activity_detection_masks(
+                        high_bits[j], low_bits[j],
+                        n_smooth=p['n_smooth'][int(act_c[j])],
+                        n_salt=p['n_salt'][int(act_c[j])])
+                    for j in range(act_n.size)
+                ]
+            for j, pairs in enumerate(all_pairs):
                 c = int(act_c[j])
-                pairs = vad.activity_detection_masks(
-                    high_bits[j], low_bits[j],
-                    n_smooth=p['n_smooth'][c],
-                    n_salt=p['n_salt'][c])
                 clip_i = i0 + int(act_n[j])
                 for bgn, fin in pairs:
                     per_clip[clip_i].append({
