@@ -110,16 +110,24 @@ class SedInferenceEngine:
         high_thr = np.asarray(p['sed_high_threshold'], np.float32)
         low_thr = np.asarray(p['sed_low_threshold'], np.float32)
 
-        def _pack_time_bits(mask):
-            """(B, T, C) bool -> (B, ceil(T/8), C) uint8, big-endian bits
+        t_frames = len(coverage)
+        # pack along time in (B, C, T) layout; pad the byte count so the
+        # per-track payload [high_bytes | low_bytes] is exactly 128 bytes
+        # minor — a TPU array's minor dimension is padded to 128 lanes, so
+        # anything smaller transfers mostly padding.
+        tb = -(-t_frames // 8)
+        tb_padded = max(64, -(-tb // 64) * 64)
+        self._track_bytes = tb_padded
+
+        def _pack_time_bits(mask_bct):
+            """(B, C, T) bool -> (B, C, tb_padded) uint8, big-endian bits
             (matches np.unpackbits)."""
-            b, t, c = mask.shape
-            pad = (-t) % 8
-            m = jnp.pad(mask, ((0, 0), (0, pad), (0, 0)))
-            m = m.reshape(b, -1, 8, c).astype(jnp.uint8)
-            w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
-            return jnp.sum(m * w[None, None, :, None], axis=2,
-                           dtype=jnp.uint8)
+            b, c, t = mask_bct.shape
+            pad = tb_padded * 8 - t
+            m = jnp.pad(mask_bct, ((0, 0), (0, 0), (0, pad)))
+            m = m.reshape(b, c, tb_padded, 8).astype(jnp.float32)
+            w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.float32)
+            return jnp.sum(m * w, axis=3).astype(jnp.uint8)
 
         def _forward_scan(variables, wav):
             out = model.apply(variables, _prep(wav), train=False)
@@ -128,15 +136,16 @@ class SedInferenceEngine:
                                                 framewise.dtype)[None, :,
                                                                  None]
             track_max = jnp.max(framewise, axis=1)          # (B, C)
-            masks = jnp.stack([
-                _pack_time_bits(framewise > high_thr[None, None, :]),
-                _pack_time_bits(framewise >= low_thr[None, None, :]),
-            ], axis=-1)                       # (B, T/8, C, 2) uint8
-            return masks, out['clipwise_output'], track_max
+            fw_bct = framewise.transpose(0, 2, 1)           # (B, C, T)
+            masks = jnp.concatenate([
+                _pack_time_bits(fw_bct > high_thr[None, :, None]),
+                _pack_time_bits(fw_bct >= low_thr[None, :, None]),
+            ], axis=-1)                       # (B, C, 2*tb_padded) uint8
+            return masks, track_max
 
         def _gather_tracks(masks, idx_n, idx_c):
-            # (B, TB, C, 2)[idx_n, :, idx_c] -> (K, TB, 2)
-            return masks[idx_n, :, idx_c]
+            # (B, C, 2*TB)[idx_n, idx_c] -> (K, 2*TB)
+            return masks[idx_n, idx_c]
 
         self._forward_scan = jax.jit(_forward_scan)
         self._gather_tracks = jax.jit(_gather_tracks)
@@ -271,15 +280,15 @@ class SedInferenceEngine:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:],
                                      chunk.dtype)], axis=0)
-            framewise_dev, _clipwise, track_max_dev = self._forward_scan(
+            masks_dev, track_max_dev = self._forward_scan(
                 self.variables, jnp.asarray(chunk))
-            handles.append((i0, bs - pad, framewise_dev, track_max_dev))
+            handles.append((i0, bs - pad, masks_dev, track_max_dev))
 
         # Phase B — pull tiny per-track maxima, dispatch active-track
         # gathers (still async).
         gathers = []
         G = self._gather_chunk
-        for i0, valid, framewise_dev, track_max_dev in handles:
+        for i0, valid, masks_dev, track_max_dev in handles:
             track_max = np.asarray(track_max_dev)[:valid]
             act_n, act_c = np.nonzero(track_max > high[None, :])
             for j0 in range(0, act_n.size, G):
@@ -289,7 +298,7 @@ class SedInferenceEngine:
                 idx_c = np.zeros(G, np.int32)
                 idx_n[:sub_n.size] = sub_n
                 idx_c[:sub_n.size] = sub_c
-                tracks_dev = self._gather_tracks(framewise_dev,
+                tracks_dev = self._gather_tracks(masks_dev,
                                                  jnp.asarray(idx_n),
                                                  jnp.asarray(idx_c))
                 gathers.append((i0, sub_n, sub_c, tracks_dev))
@@ -300,19 +309,20 @@ class SedInferenceEngine:
                                                decode_packed_tracks)
         use_native = native_available()
         t_frames = self._out_frames
+        tb = self._track_bytes
         n_smooth_arr = np.asarray(p['n_smooth'], np.int32)
         n_salt_arr = np.asarray(p['n_salt'], np.int32)
         for i0, act_n, act_c, tracks_dev in gathers:
-            packed = np.asarray(tracks_dev)[:act_n.size]   # (K, T/8, 2)
+            packed = np.asarray(tracks_dev)[:act_n.size]   # (K, 2*TB)
             if use_native:
                 all_pairs = decode_packed_tracks(
-                    packed[:, :, 0], packed[:, :, 1], t_frames,
+                    packed[:, :tb], packed[:, tb:], t_frames,
                     n_smooth_arr[act_c], n_salt_arr[act_c])
             else:
                 high_bits = np.unpackbits(
-                    packed[:, :, 0], axis=1)[:, :t_frames].astype(bool)
+                    packed[:, :tb], axis=1)[:, :t_frames].astype(bool)
                 low_bits = np.unpackbits(
-                    packed[:, :, 1], axis=1)[:, :t_frames].astype(bool)
+                    packed[:, tb:], axis=1)[:, :t_frames].astype(bool)
                 all_pairs = [
                     vad.activity_detection_masks(
                         high_bits[j], low_bits[j],
