@@ -69,21 +69,53 @@ def optimize_sed_thresholds(args):
     return score, params
 
 
+def optimize_at_thresholds(args):
+    """Audio-tagging (clipwise) threshold optimization
+    (``utils/optimize_thresholds.py:210-287``): optimize 25 clipwise
+    thresholds against micro F1 of the cached test predictions."""
+    from sed_tpu.thresholds.optimizer import AudioTaggingScoreCalculator
+
+    cfg, ws = common.resolve(args)
+    pred_path = ws.predictions_path(
+        f'test_predictions_{args.feature_type}_{cfg.name}.pkl')
+    if not os.path.isfile(pred_path):
+        raise SystemExit(
+            f'no cached predictions at {pred_path}; run '
+            'main_strong inference_prob first')
+    score_calculator = AudioTaggingScoreCalculator(pred_path)
+    opt = HyperParamsOptimizer(score_calculator,
+                               learning_rate=args.learning_rate,
+                               epochs=args.epochs, step=0.02, max_search=5)
+    score, params, record = opt.do_optimize([0.3] * CLASSES_NUM)
+    out_path = os.path.join(
+        ws.dir('opt_thresholds', create=True),
+        f'best_{args.feature_type}_{cfg.name}.at.pkl')
+    with open(out_path, 'wb') as f:
+        pickle.dump({'audio_tagging_threshold': list(params)}, f)
+    print('Saved optimized AT thresholds (F1 {:.4f}) to {}'.format(
+        score, out_path))
+    return score, params
+
+
 def get_parser():
     parser = argparse.ArgumentParser(description='sed_tpu threshold opt')
     subparsers = parser.add_subparsers(dest='mode', required=True)
-    sub = subparsers.add_parser('optimize_sed_thresholds')
-    common.add_common_args(sub)
-    sub.add_argument('--learning_rate', type=float, default=1e-2)
-    sub.add_argument('--epochs', type=int, default=70)
-    sub.add_argument('--refresh_predictions', action='store_true',
-                     default=False)
+    for mode in ('optimize_sed_thresholds', 'optimize_at_thresholds'):
+        sub = subparsers.add_parser(mode)
+        common.add_common_args(sub)
+        sub.add_argument('--learning_rate', type=float, default=1e-2)
+        sub.add_argument('--epochs', type=int, default=70)
+        sub.add_argument('--refresh_predictions', action='store_true',
+                         default=False)
     return parser
 
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
-    optimize_sed_thresholds(args)
+    if args.mode == 'optimize_sed_thresholds':
+        optimize_sed_thresholds(args)
+    else:
+        optimize_at_thresholds(args)
 
 
 if __name__ == '__main__':
