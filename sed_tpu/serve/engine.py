@@ -119,15 +119,13 @@ class SedInferenceEngine:
         tb_padded = max(64, -(-tb // 64) * 64)
         self._track_bytes = tb_padded
 
-        def _pack_time_bits(mask_bct):
-            """(B, C, T) bool -> (B, C, tb_padded) uint8, big-endian bits
-            (matches np.unpackbits)."""
-            b, c, t = mask_bct.shape
-            pad = tb_padded * 8 - t
-            m = jnp.pad(mask_bct, ((0, 0), (0, 0), (0, pad)))
-            m = m.reshape(b, c, tb_padded, 8).astype(jnp.float32)
-            w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.float32)
-            return jnp.sum(m * w, axis=3).astype(jnp.uint8)
+        # Bit packing as one MXU matmul: mask (.., T) @ P (T, tb) where
+        # column t//8 of row t holds 2^(7 - t%8).  (A reshape-and-reduce
+        # formulation leaves a minor dimension of 8, which TPU lane
+        # tiling pads to 128 — a 16x HBM blowup.)
+        pack_w = np.zeros((tb_padded * 8, tb_padded), np.float32)
+        for t_ in range(t_frames):
+            pack_w[t_, t_ // 8] = float(1 << (7 - (t_ & 7)))
 
         def _forward_scan(variables, wav):
             out = model.apply(variables, _prep(wav), train=False)
@@ -137,10 +135,17 @@ class SedInferenceEngine:
                                                                  None]
             track_max = jnp.max(framewise, axis=1)          # (B, C)
             fw_bct = framewise.transpose(0, 2, 1)           # (B, C, T)
-            masks = jnp.concatenate([
-                _pack_time_bits(fw_bct > high_thr[None, :, None]),
-                _pack_time_bits(fw_bct >= low_thr[None, :, None]),
-            ], axis=-1)                       # (B, C, 2*tb_padded) uint8
+            pad = tb_padded * 8 - fw_bct.shape[-1]
+            both = jnp.concatenate([
+                fw_bct > high_thr[None, :, None],
+                fw_bct >= low_thr[None, :, None],
+            ], axis=1).astype(jnp.float32)                  # (B, 2C, T)
+            both = jnp.pad(both, ((0, 0), (0, 0), (0, pad)))
+            packed = jnp.matmul(both, jnp.asarray(pack_w))  # (B, 2C, TB)
+            packed = packed.astype(jnp.uint8)
+            c = fw_bct.shape[1]
+            masks = jnp.concatenate([packed[:, :c], packed[:, c:]],
+                                    axis=-1)      # (B, C, 2*TB) uint8
             return masks, track_max
 
         def _gather_tracks(masks, idx_n, idx_c):
