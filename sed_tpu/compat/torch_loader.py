@@ -180,6 +180,21 @@ def state_dict_to_variables(state_dict: Dict[str, np.ndarray]) -> dict:
                 raise KeyError(f'unhandled BN key {key}')
             continue
 
+        # --- VGGish Sequential indices -> conv{i}
+        # (torch keys vggish.features.{0,3,6,8,11,13}.*, models.py:2230-2250)
+        if 'vggish' in parts and parts[-2].isdigit():
+            seq_to_conv = {0: 'conv0', 3: 'conv1', 6: 'conv2', 8: 'conv3',
+                           11: 'conv4', 13: 'conv5'}
+            conv_name = seq_to_conv.get(int(parts[-2]))
+            if conv_name is None:
+                continue  # fc stack is stripped by the reference too
+            if leaf == 'weight':
+                _set(params, ('vggish', conv_name, 'kernel'),
+                     val.transpose(2, 3, 1, 0))
+            else:
+                _set(params, ('vggish', conv_name, 'bias'), val)
+            continue
+
         # --- conv layers (OIHW -> HWIO) -----------------------------------
         if parts[-2].startswith('conv') and leaf == 'weight' and val.ndim == 4:
             _set(params, (*owner, 'kernel'), val.transpose(2, 3, 1, 0))
