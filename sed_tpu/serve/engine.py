@@ -98,34 +98,14 @@ class SedInferenceEngine:
 
         # -- low-transfer clip path ----------------------------------------
         # The serving link's device->host bandwidth, not FLOPs, bounds
-        # throughput.  The event decoder only ever consumes the two
-        # threshold-crossing masks (x > high, x >= low) — so the device
-        # computes and bit-packs those masks and the host pulls back
-        # ~126 bytes per active track instead of a 2 KB float track, with
-        # zero numerical difference.
+        # throughput.  Framewise probabilities stay on device; the host
+        # pulls back only (per-track max) and then gathers the few
+        # threshold-active float tracks.  (An on-device bit-packed-mask
+        # variant was tried and is numerically equivalent, but the pack
+        # transpose executes slowly on the current backend, so the float
+        # gather wins end-to-end.)
         coverage = post_merge.coverage_counts(
             self._clip_out_frames(), sample_duration, overlap_value)
-        p = sed_params.per_class(len(labels)) \
-            if hasattr(sed_params, 'per_class') else dict(sed_params)
-        high_thr = np.asarray(p['sed_high_threshold'], np.float32)
-        low_thr = np.asarray(p['sed_low_threshold'], np.float32)
-
-        t_frames = len(coverage)
-        # pack along time in (B, C, T) layout; pad the byte count so the
-        # per-track payload [high_bytes | low_bytes] is exactly 128 bytes
-        # minor — a TPU array's minor dimension is padded to 128 lanes, so
-        # anything smaller transfers mostly padding.
-        tb = -(-t_frames // 8)
-        tb_padded = max(64, -(-tb // 64) * 64)
-        self._track_bytes = tb_padded
-
-        # Bit packing as one MXU matmul: mask (.., T) @ P (T, tb) where
-        # column t//8 of row t holds 2^(7 - t%8).  (A reshape-and-reduce
-        # formulation leaves a minor dimension of 8, which TPU lane
-        # tiling pads to 128 — a 16x HBM blowup.)
-        pack_w = np.zeros((tb_padded * 8, tb_padded), np.float32)
-        for t_ in range(t_frames):
-            pack_w[t_, t_ // 8] = float(1 << (7 - (t_ & 7)))
 
         def _forward_scan(variables, wav):
             out = model.apply(variables, _prep(wav), train=False)
@@ -134,27 +114,16 @@ class SedInferenceEngine:
                                                 framewise.dtype)[None, :,
                                                                  None]
             track_max = jnp.max(framewise, axis=1)          # (B, C)
-            fw_bct = framewise.transpose(0, 2, 1)           # (B, C, T)
-            pad = tb_padded * 8 - fw_bct.shape[-1]
-            both = jnp.concatenate([
-                fw_bct > high_thr[None, :, None],
-                fw_bct >= low_thr[None, :, None],
-            ], axis=1).astype(jnp.float32)                  # (B, 2C, T)
-            both = jnp.pad(both, ((0, 0), (0, 0), (0, pad)))
-            packed = jnp.matmul(both, jnp.asarray(pack_w))  # (B, 2C, TB)
-            packed = packed.astype(jnp.uint8)
-            c = fw_bct.shape[1]
-            masks = jnp.concatenate([packed[:, :c], packed[:, c:]],
-                                    axis=-1)      # (B, C, 2*TB) uint8
-            return masks, track_max
+            return framewise, track_max
 
-        def _gather_tracks(masks, idx_n, idx_c):
-            # (B, C, 2*TB)[idx_n, idx_c] -> (K, 2*TB)
-            return masks[idx_n, idx_c]
+        def _gather_tracks(framewise, idx_n, idx_c):
+            # (B, T, C)[idx_n, :, idx_c] -> (K, T)
+            return framewise[idx_n, :, idx_c]
 
         self._forward_scan = jax.jit(_forward_scan)
         self._gather_tracks = jax.jit(_gather_tracks)
         self._out_frames = len(coverage)
+        self._track_bytes = -(-self._out_frames // 8)
 
     def _clip_out_frames(self) -> int:
         """Framewise output length for one sample_duration window,
@@ -285,15 +254,15 @@ class SedInferenceEngine:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:],
                                      chunk.dtype)], axis=0)
-            masks_dev, track_max_dev = self._forward_scan(
+            framewise_dev, track_max_dev = self._forward_scan(
                 self.variables, jnp.asarray(chunk))
-            handles.append((i0, bs - pad, masks_dev, track_max_dev))
+            handles.append((i0, bs - pad, framewise_dev, track_max_dev))
 
         # Phase B — pull tiny per-track maxima, dispatch active-track
         # gathers (still async).
         gathers = []
         G = self._gather_chunk
-        for i0, valid, masks_dev, track_max_dev in handles:
+        for i0, valid, framewise_dev, track_max_dev in handles:
             track_max = np.asarray(track_max_dev)[:valid]
             act_n, act_c = np.nonzero(track_max > high[None, :])
             for j0 in range(0, act_n.size, G):
@@ -303,31 +272,31 @@ class SedInferenceEngine:
                 idx_c = np.zeros(G, np.int32)
                 idx_n[:sub_n.size] = sub_n
                 idx_c[:sub_n.size] = sub_c
-                tracks_dev = self._gather_tracks(masks_dev,
+                tracks_dev = self._gather_tracks(framewise_dev,
                                                  jnp.asarray(idx_n),
                                                  jnp.asarray(idx_c))
                 gathers.append((i0, sub_n, sub_c, tracks_dev))
 
-        # Phase C — pull the packed crossing masks and decode on host
-        # (native batch decoder when g++ built it; numpy otherwise).
+        # Phase C — pull gathered float tracks, compute the two crossing
+        # masks on host, decode (native batch decoder when g++ built it).
         from sed_tpu.native.vad_native import (native_available,
                                                decode_packed_tracks)
         use_native = native_available()
         t_frames = self._out_frames
-        tb = self._track_bytes
+        high_arr = np.asarray(p['sed_high_threshold'], np.float64)
+        low_arr = np.asarray(p['sed_low_threshold'], np.float64)
         n_smooth_arr = np.asarray(p['n_smooth'], np.int32)
         n_salt_arr = np.asarray(p['n_salt'], np.int32)
         for i0, act_n, act_c, tracks_dev in gathers:
-            packed = np.asarray(tracks_dev)[:act_n.size]   # (K, 2*TB)
+            tracks = np.asarray(tracks_dev)[:act_n.size]   # (K, T)
+            high_bits = tracks > high_arr[act_c][:, None]
+            low_bits = tracks >= low_arr[act_c][:, None]
             if use_native:
                 all_pairs = decode_packed_tracks(
-                    packed[:, :tb], packed[:, tb:], t_frames,
+                    np.packbits(high_bits, axis=1),
+                    np.packbits(low_bits, axis=1), t_frames,
                     n_smooth_arr[act_c], n_salt_arr[act_c])
             else:
-                high_bits = np.unpackbits(
-                    packed[:, :tb], axis=1)[:, :t_frames].astype(bool)
-                low_bits = np.unpackbits(
-                    packed[:, tb:], axis=1)[:, :t_frames].astype(bool)
                 all_pairs = [
                     vad.activity_detection_masks(
                         high_bits[j], low_bits[j],
