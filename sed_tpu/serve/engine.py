@@ -64,6 +64,9 @@ class SedInferenceEngine:
       sed_params: event-decoding thresholds.
       batch_size: device batch for the jitted forward (windows are padded
         up to a multiple of this, so exactly one compilation happens).
+      mesh: optional jax.sharding.Mesh for data-parallel serving — the
+        window batch is sharded over the ``data`` axis and parameters are
+        replicated, scaling inference across chips over ICI.
     """
 
     def __init__(self, model, variables, cfg: AudioConfig,
@@ -71,7 +74,8 @@ class SedInferenceEngine:
                  overlap_value: float = 1.0,
                  sed_params: SedParams = PREDICT_SED_PARAMS,
                  batch_size: int = 32,
-                 labels: Sequence[str] = sed_config.LABELS):
+                 labels: Sequence[str] = sed_config.LABELS,
+                 mesh=None):
         self.model = model
         self.variables = variables
         self.cfg = cfg
@@ -90,11 +94,23 @@ class SedInferenceEngine:
                 wav = wav.astype(jnp.float32) / 32767.0
             return wav
 
+        self.mesh = mesh
+        if mesh is not None:
+            from sed_tpu.parallel import mesh as mesh_lib
+            assert batch_size % mesh.devices.size == 0, (
+                'batch_size must divide evenly over the mesh')
+            self._replicated = mesh_lib.replicated_sharding(mesh)
+            self._sharded = mesh_lib.batch_sharding(mesh)
+            self.variables = jax.device_put(variables, self._replicated)
+            jit_kw = dict(in_shardings=(self._replicated, self._sharded))
+        else:
+            jit_kw = {}
+
         def _forward(variables, wav):
             out = model.apply(variables, _prep(wav), train=False)
             return out['framewise_output'], out['clipwise_output']
 
-        self._forward = jax.jit(_forward)
+        self._forward = jax.jit(_forward, **jit_kw)
 
         # -- low-transfer clip path ----------------------------------------
         # The serving link's device->host bandwidth, not FLOPs, bounds
@@ -120,7 +136,7 @@ class SedInferenceEngine:
             # (B, T, C)[idx_n, :, idx_c] -> (K, T)
             return framewise[idx_n, :, idx_c]
 
-        self._forward_scan = jax.jit(_forward_scan)
+        self._forward_scan = jax.jit(_forward_scan, **jit_kw)
         self._gather_tracks = jax.jit(_gather_tracks)
         self._out_frames = len(coverage)
         self._track_bytes = -(-self._out_frames // 8)

@@ -66,6 +66,26 @@ def test_predict_clips_bulk(engine):
         assert re.match(r'<AudioDoc name="clip\d+\.wav">', xml)
 
 
+def test_mesh_parallel_serving_matches_single(engine):
+    """Data-parallel serving over the 8-device virtual mesh produces the
+    same events as the single-device engine."""
+    import jax
+    from sed_tpu.parallel import mesh as mesh_lib
+    assert jax.device_count() >= 8
+    mesh = mesh_lib.make_mesh(8)
+    mesh_engine = SedInferenceEngine(
+        engine.model, engine.variables, AUDIO_16K, sample_duration=5,
+        overlap=True, batch_size=8, mesh=mesh)
+    rng = np.random.RandomState(5)
+    wavs = rng.uniform(-0.3, 0.3,
+                       (8, AUDIO_16K.sample_rate * 5)).astype(np.float32)
+    got, _ = mesh_engine.predict_clips(wavs)
+    want, _ = engine.predict_clips(wavs)
+    for g, w in zip(got, want):
+        key = lambda e: (e['onset'], e['event_label'])  # noqa: E731
+        assert sorted(g, key=key) == sorted(w, key=key)
+
+
 def test_bulk_matches_per_file(engine):
     """predict_clips must agree with predict_waveform for 5 s clips."""
     rng = np.random.RandomState(3)
