@@ -35,6 +35,16 @@ import numpy as np
 MIN_VALUE = float(np.finfo(np.float32).min)
 
 
+def subsequent_mask(size: int) -> np.ndarray:
+    """Lower-triangular causal mask (``models_2020/transformer/mask.py``)."""
+    return np.tril(np.ones((size, size), dtype=bool))
+
+
+def make_non_pad_mask(lengths: np.ndarray, max_len: int) -> np.ndarray:
+    """(B, T) True where t < lengths[b] — attention padding mask."""
+    return np.arange(max_len)[None, :] < np.asarray(lengths)[:, None]
+
+
 def sinusoidal_table(max_len: int, d_model: int) -> np.ndarray:
     """Interleaved sin/cos table (``transformer/embedding.py:20-27``)."""
     pe = np.zeros((max_len, d_model), np.float32)

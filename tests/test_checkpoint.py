@@ -1,0 +1,39 @@
+"""Orbax checkpoint save/restore round trip + .pth dispatch."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sed_tpu.config import AUDIO_16K
+from sed_tpu.models.registry import get_model
+from sed_tpu.train.checkpoint import (load_variables, restore_checkpoint,
+                                      save_checkpoint)
+from sed_tpu.train.state import create_train_state
+
+
+def test_save_restore_roundtrip(tmp_path):
+    model = get_model('Cnn_9layers_FrameAvg', AUDIO_16K)
+    wav = jnp.zeros((1, AUDIO_16K.sample_rate), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), wav)
+    # take a step so opt_state is non-trivial
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    state = state.apply_gradients(grads=grads)
+
+    path = str(tmp_path / 'ckpt')
+    save_checkpoint(path, state)
+
+    fresh = create_train_state(model, jax.random.PRNGKey(1), wav)
+    restored = restore_checkpoint(path, fresh)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(restored.opt_state),
+                    jax.tree.leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # inference-path loader reads the same dir
+    variables = load_variables(path)
+    assert 'params' in variables and 'batch_stats' in variables
+    out = model.apply(variables, wav, train=False)
+    assert out['clipwise_output'].shape == (1, 25)
