@@ -54,6 +54,9 @@ class SedFeatureBase(nn.Module):
     classes_num: int = 25
     feature_type: str = 'logmel'
     bn_axis_name: Optional[str] = None
+    # conv-stack computation dtype; jnp.bfloat16 doubles MXU throughput
+    # (frontend, BN stats, temporal modules and heads stay float32)
+    compute_dtype: Optional[object] = None
 
     def compute_features(self, x: jnp.ndarray, train: bool,
                          mixup_lambda: Optional[jnp.ndarray],

@@ -48,10 +48,15 @@ def pad_framewise_output(x: jnp.ndarray, frames_num: int) -> jnp.ndarray:
 
 class ConvBlock(nn.Module):
     """[Conv3x3 -> BN -> ReLU] x2 + avg/max/avg+max pool
-    (``models.py:98-141``)."""
+    (``models.py:98-141``).
+
+    ``dtype`` sets the conv computation dtype (bfloat16 doubles MXU
+    throughput); parameters and BatchNorm statistics stay float32.
+    """
 
     out_channels: int
     bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
@@ -60,9 +65,10 @@ class ConvBlock(nn.Module):
         for name in ('conv1', 'conv2'):
             x = nn.Conv(self.out_channels, (3, 3), use_bias=False,
                         padding='SAME', kernel_init=xavier_uniform,
-                        name=name)(x)
+                        dtype=self.dtype, name=name)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, axis_name=self.bn_axis_name,
+                             dtype=jnp.float32,
                              name='bn' + name[-1])(x)
             x = nn.relu(x)
         if pool_size == (1, 1):

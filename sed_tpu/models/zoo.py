@@ -61,9 +61,11 @@ class CnnSed(SedFeatureBase):
         for i, ch in enumerate(self.conv_channels):
             last = i == len(self.conv_channels) - 1
             x = blocks.ConvBlock(ch, bn_axis_name=self.bn_axis_name,
+                                 dtype=self.compute_dtype,
                                  name=f'conv_block{i + 1}')(
                 x, train, pool_size=(1, 1) if last else (2, 2),
                 pool_type='avg')
+        x = x.astype(jnp.float32)
 
         x = jnp.mean(x, axis=2)                                # (B,T',C)
 

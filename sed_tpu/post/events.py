@@ -55,24 +55,49 @@ def frame_prediction_to_event_prediction_v2(framewise_output, audio_name: str,
 def decode_batch(framewise: np.ndarray, names: List[str], sed_params,
                  frames_per_second: int,
                  labels: Sequence[str] = cfg.LABELS) -> List[dict]:
-    """Vectorized-gated event decode for (N, T, C) probabilities."""
-    (audios_num, _, classes_num) = framewise.shape
+    """Vectorized-gated event decode for (N, T, C) probabilities.
+
+    Only tracks that cross their high threshold are decoded; those go
+    through the native C++ batch decoder when available (this is the hot
+    loop of both the evaluator and the threshold optimizer, which re-runs
+    it hundreds of times per epoch — ``optimize_thresholds.py:73-101``).
+    """
+    (audios_num, t_frames, classes_num) = framewise.shape
     p = _as_params_dict(sed_params, classes_num)
     high = np.asarray(p['sed_high_threshold'], np.float64)
+    low = np.asarray(p['sed_low_threshold'], np.float64)
 
     # Skip silent tracks without touching Python-level decode.
     track_max = framewise.max(axis=1)                  # (N, C)
-    active = track_max > high[None, :]
+    act_n, act_c = np.nonzero(track_max > high[None, :])
 
     event_list: List[dict] = []
     fps = float(frames_per_second)
-    for n, k in zip(*np.nonzero(active)):
-        pairs = vad.activity_detection(
-            x=framewise[n, :, k],
-            thres=p['sed_high_threshold'][k],
-            low_thres=p['sed_low_threshold'][k],
-            n_smooth=p['n_smooth'][k],
-            n_salt=p['n_salt'][k])
+    if act_n.size == 0:
+        return event_list
+
+    from sed_tpu.native.vad_native import (native_available,
+                                           decode_packed_tracks)
+    if native_available():
+        tracks = framewise[act_n, :, act_c]            # (K, T)
+        high_bits = tracks > high[act_c][:, None]
+        low_bits = tracks >= low[act_c][:, None]
+        all_pairs = decode_packed_tracks(
+            np.packbits(high_bits, axis=1), np.packbits(low_bits, axis=1),
+            t_frames,
+            np.asarray(p['n_smooth'], np.int32)[act_c],
+            np.asarray(p['n_salt'], np.int32)[act_c])
+    else:
+        all_pairs = [
+            vad.activity_detection(
+                x=framewise[n, :, k],
+                thres=p['sed_high_threshold'][k],
+                low_thres=p['sed_low_threshold'][k],
+                n_smooth=p['n_smooth'][k],
+                n_salt=p['n_salt'][k])
+            for n, k in zip(act_n, act_c)
+        ]
+    for (n, k), pairs in zip(zip(act_n, act_c), all_pairs):
         for bgn, fin in pairs:
             event_list.append({
                 'filename': names[n],

@@ -166,6 +166,22 @@ def test_shorter_window_pads_to_roundup():
     assert out['framewise_output'].shape == (1, 500, CLASSES_NUM)
 
 
+def test_bf16_compute_dtype_close_to_f32():
+    """Opt-in bfloat16 conv compute stays close to the f32 reference."""
+    wav = jnp.asarray(np.random.RandomState(0).uniform(
+        -0.3, 0.3, (1, AUDIO_16K.sample_rate * 2)).astype(np.float32))
+    f32 = get_model('Cnn_9layers_Gru_FrameAtt', AUDIO_16K)
+    variables = f32.init(RNGS, wav, train=False)
+    bf16 = get_model('Cnn_9layers_Gru_FrameAtt', AUDIO_16K,
+                     compute_dtype=jnp.bfloat16)
+    out32 = f32.apply(variables, wav, train=False)
+    out16 = bf16.apply(variables, wav, train=False)
+    assert out16['framewise_output'].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out16['clipwise_output']),
+                               np.asarray(out32['clipwise_output']),
+                               atol=0.05)
+
+
 def test_interpolate_and_pad_helpers():
     x = jnp.asarray(np.arange(6, dtype=np.float32).reshape(1, 3, 2))
     up = blocks.interpolate(x, 2)
