@@ -49,3 +49,32 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = 'data') -> dict:
     """Device-put every array in a batch dict with its batch axis sharded."""
     sharding = batch_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def fsdp_shardings(tree, mesh: Mesh, axis: str = 'model',
+                   min_size: int = 65536):
+    """FSDP-style sharding tree: every leaf of at least ``min_size``
+    elements is sharded along its largest ``axis``-divisible dimension
+    over the ``axis`` mesh axis; everything else is replicated.
+
+    Optimizer moments share parameter shapes, so the same tree applies to
+    a whole train state.  Under ``jit``, XLA inserts the all-gathers /
+    reduce-scatters over ICI (the TPU-native equivalent of sharding the
+    94 M-param Cnn_14* models the reference can't distribute,
+    SURVEY §2.12).
+    """
+    size = mesh.shape[axis]
+
+    def rule(leaf):
+        shape = getattr(leaf, 'shape', ())
+        n = int(np.prod(shape)) if shape else 0
+        if n >= min_size:
+            order = sorted(range(len(shape)), key=lambda d: -shape[d])
+            for d in order:
+                if shape[d] % size == 0 and shape[d] >= size:
+                    spec = [None] * len(shape)
+                    spec[d] = axis
+                    return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, tree)

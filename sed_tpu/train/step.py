@@ -26,7 +26,8 @@ from sed_tpu.train.state import SedTrainState
 def make_train_step(model, weak_loss_func: Callable,
                     strong_loss_func: Callable, mixup: bool,
                     timeshift: bool, spec_augment: bool,
-                    mesh=None, donate: bool = True):
+                    mesh=None, donate: bool = True,
+                    state_sharding=None):
     """Build a jitted joint weak+strong train step.
 
     Returns ``step(state, weak_batch, strong_batch, rng) ->
@@ -90,9 +91,14 @@ def make_train_step(model, weak_loss_func: Callable,
     if mesh is not None:
         replicated = mesh_lib.replicated_sharding(mesh)
         sharded = mesh_lib.batch_sharding(mesh)
+        # state_sharding (e.g. from parallel.mesh.fsdp_shardings) pins
+        # parameter/optimizer shards; default is replicated params
+        state_in = state_sharding if state_sharding is not None \
+            else replicated
         return jax.jit(
             step,
-            in_shardings=(replicated, sharded, sharded, replicated),
+            in_shardings=(state_in, sharded, sharded, replicated),
+            out_shardings=(state_in, replicated),
             donate_argnums=(0,) if donate else ())
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 

@@ -124,6 +124,34 @@ def test_train_step_on_8_device_mesh():
     assert p.sharding.is_fully_replicated
 
 
+def test_fsdp_hybrid_mesh_train_step():
+    """Hybrid data x model mesh: batch sharded over 'data', large params
+    FSDP-sharded over 'model'; one jitted step must run and keep the
+    parameter shardings."""
+    assert jax.device_count() >= 8
+    mesh = mesh_lib.make_mesh(8, axis_names=('data', 'model'),
+                              shape=(2, 4))
+    rng = np.random.RandomState(2)
+    model = get_model('Cnn_9layers_FrameAvg', AUDIO_16K)
+    weak, strong = _tiny_batches(rng, n_weak=4, n_strong=2)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(weak['waveform'][:1]))
+    state_sharding = mesh_lib.fsdp_shardings(state, mesh, axis='model',
+                                             min_size=4096)
+    state = jax.device_put(state, state_sharding)
+    step = make_train_step(model, losses.clip_bce, losses.frame_bce,
+                           mixup=True, timeshift=False, spec_augment=True,
+                           mesh=mesh, donate=False,
+                           state_sharding=state_sharding)
+    weak = mesh_lib.shard_batch(weak, mesh)
+    strong = mesh_lib.shard_batch(strong, mesh)
+    state, metrics = step(state, weak, strong, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics['loss']))
+    # a large conv kernel must actually be sharded over 'model'
+    k = state.params['conv_block4']['conv2']['kernel']
+    assert not k.sharding.is_fully_replicated
+
+
 def test_eval_step_matches_direct_apply():
     model = get_model('Cnn_9layers_FrameAvg', AUDIO_16K)
     wav = jnp.zeros((2, AUDIO_16K.sample_rate), jnp.float32)
