@@ -12,10 +12,8 @@ import argparse
 import os
 import pickle
 
-import numpy as np
-
 from sed_tpu.cli import common
-from sed_tpu.config import CLASSES_NUM, EVAL_SED_PARAMS, SedParams
+from sed_tpu.config import CLASSES_NUM, EVAL_SED_PARAMS
 from sed_tpu.eval.calculate_metrics import (calculate_precision_recall_f1,
                                             get_metric)
 from sed_tpu.eval import segment_metrics

@@ -7,7 +7,6 @@ explicit table.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict
 
 from sed_tpu.config import AudioConfig

@@ -14,7 +14,6 @@ zero-padded window.
 
 from __future__ import annotations
 
-import math
 import os
 from typing import List, Optional, Sequence, Tuple
 

@@ -9,9 +9,8 @@ Reference ``.pth`` files remain loadable through
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 

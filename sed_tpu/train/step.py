@@ -12,11 +12,9 @@ replacement for ``torch.nn.DataParallel``.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 from sed_tpu.augment import functional as aug
 from sed_tpu.parallel import mesh as mesh_lib
