@@ -263,10 +263,10 @@ def inference_prob_overlap(args):
         engine = _overlap_engine(args, cfg, model, variables, sed_params,
                                  overlap_value, sample_duration)
         t0 = time.time()
-        full_event_list = []
-        for audio_name, audio in _test_clip_waveforms(args, cfg):
-            full_event_list.extend(engine.predict_waveform(
-                audio, audio_name, duration=10.0, step=overlap_value))
+        pairs = list(_test_clip_waveforms(args, cfg))
+        full_event_list = engine.predict_waveforms(
+            [a for _, a in pairs], [n for n, _ in pairs],
+            duration=10.0, step=overlap_value)
         print('Processing time for {}: {} s'.format(
             [overlap_value, sample_duration], time.time() - t0))
         post_events.write_submission(full_event_list, submission)

@@ -163,7 +163,7 @@ class SedInferenceEngine:
         """
         n = wavs.shape[0]
         bs = self.batch_size
-        frames, clips = [], []
+        handles = []
         for i in range(0, n, bs):
             chunk = wavs[i:i + bs]
             pad = bs - chunk.shape[0]
@@ -171,9 +171,12 @@ class SedInferenceEngine:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:],
                                      chunk.dtype)], axis=0)
-            f, c = self._forward(self.variables, jnp.asarray(chunk))
-            frames.append(np.asarray(f))
-            clips.append(np.asarray(c))
+            # async dispatch: batch i+1's transfer/compute overlaps
+            # batch i's pull
+            handles.append(self._forward(self.variables,
+                                         jnp.asarray(chunk)))
+        frames = [np.asarray(f) for f, _ in handles]
+        clips = [np.asarray(c) for _, c in handles]
         framewise = np.concatenate(frames, axis=0)[:n]
         clipwise = np.concatenate(clips, axis=0)[:n]
         return framewise, clipwise
@@ -208,6 +211,38 @@ class SedInferenceEngine:
         return post_events.frame_prediction_to_event_prediction_v2(
             merged, audio_name, self.sed_params,
             self.cfg.frames_per_second, self.labels)
+
+    def predict_waveforms(self, waveforms, names,
+                          duration: Optional[float] = None,
+                          step: Optional[float] = None) -> List[dict]:
+        """Many full waveforms -> one event list, batching the windows of
+        ALL files into shared fixed-shape forwards (the reference's
+        per-clip serial loop, ``main_strong.py:769-835``, made one
+        batched pass)."""
+        sr = self.cfg.sample_rate
+        all_windows = []
+        spans = []      # (name, start_index, n_windows)
+        for audio, name in zip(waveforms, names):
+            dur = duration if duration is not None else \
+                len(audio) / float(sr)
+            starts = window_starts(dur, self.sample_duration,
+                                   self.overlap, step)
+            spans.append((name, len(all_windows), len(starts)))
+            for s in starts:
+                all_windows.append(audio_io.pad_truncate(
+                    audio[int(s * sr):int(s * sr) + self.window_samples],
+                    self.window_samples))
+        framewise, _ = self.infer_framewise(np.stack(all_windows))
+        events: List[dict] = []
+        for name, i0, n_win in spans:
+            merged = post_merge.overlap_add_windows(
+                framewise[i0:i0 + n_win], self.sample_duration,
+                self.overlap_value)
+            events.extend(
+                post_events.frame_prediction_to_event_prediction_v2(
+                    merged, name, self.sed_params,
+                    self.cfg.frames_per_second, self.labels))
+        return events
 
     def predict_file(self, path: str) -> Tuple[List[dict], str]:
         """Audio file -> (event list sorted by onset, XML string)."""

@@ -86,6 +86,20 @@ def test_mesh_parallel_serving_matches_single(engine):
         assert sorted(g, key=key) == sorted(w, key=key)
 
 
+def test_predict_waveforms_matches_per_file(engine):
+    """Cross-file window batching must equal per-file prediction."""
+    rng = np.random.RandomState(9)
+    waves = [rng.uniform(-0.3, 0.3, AUDIO_16K.sample_rate * d)
+             .astype(np.float32) for d in (7, 10, 12)]
+    names = ['a.wav', 'b.wav', 'c.wav']
+    got = engine.predict_waveforms(waves, names)
+    want = []
+    for w, n in zip(waves, names):
+        want.extend(engine.predict_waveform(w, n))
+    key = lambda e: (e['filename'], e['onset'], e['event_label'])  # noqa
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+
 def test_bulk_matches_per_file(engine):
     """predict_clips must agree with predict_waveform for 5 s clips."""
     rng = np.random.RandomState(3)
