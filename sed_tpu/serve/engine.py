@@ -308,12 +308,15 @@ class SedInferenceEngine:
                 self.variables, jnp.asarray(chunk))
             handles.append((i0, bs - pad, framewise_dev, track_max_dev))
 
-        # Phase B — pull tiny per-track maxima, dispatch active-track
-        # gathers (still async).
+        # Phase B — pull all per-track maxima in ONE transfer (small
+        # pulls pay ~40 ms link latency each), then dispatch the
+        # active-track gathers (still async).
+        tm_all = np.asarray(jnp.concatenate(
+            [h[3] for h in handles], axis=0))        # (ceil(n/bs)*bs, C)
         gathers = []
         G = self._gather_chunk
-        for i0, valid, framewise_dev, track_max_dev in handles:
-            track_max = np.asarray(track_max_dev)[:valid]
+        for bi, (i0, valid, framewise_dev, _tm) in enumerate(handles):
+            track_max = tm_all[bi * bs:bi * bs + valid]
             act_n, act_c = np.nonzero(track_max > high[None, :])
             for j0 in range(0, act_n.size, G):
                 sub_n = act_n[j0:j0 + G]
@@ -326,6 +329,14 @@ class SedInferenceEngine:
                                                  jnp.asarray(idx_n),
                                                  jnp.asarray(idx_c))
                 gathers.append((i0, sub_n, sub_c, tracks_dev))
+        # single pull for all gathered tracks
+        if gathers:
+            flat = np.asarray(jnp.concatenate([g[3] for g in gathers],
+                                              axis=0))
+            gathers = [
+                (i0, sub_n, sub_c, flat[k * G:(k + 1) * G])
+                for k, (i0, sub_n, sub_c, _dev) in enumerate(gathers)
+            ]
 
         # Phase C — pull gathered float tracks, compute the two crossing
         # masks on host, decode (native batch decoder when g++ built it).
