@@ -70,9 +70,7 @@ def train(args):
         DataLoader(dataset, TrainSampler(strong_h5, strong_bs)))
     strong_iters = [strong_iter]
     if getattr(args, 'fsd50k', False):
-        fsd_h5 = os.path.join(
-            args.workspace, 'hdf5s',
-            ('minidata_' if args.mini_data else '') + 'strong_fsd50k.h5')
+        fsd_h5 = common.hdf5_path(args, cfg, 'strong_fsd50k')
         strong_iters.append(cycle_iteration(
             DataLoader(dataset, TrainSampler(fsd_h5, strong_bs))))
     valid_loader = DataLoader(dataset, TestSampler(valid_h5,
