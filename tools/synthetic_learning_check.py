@@ -13,6 +13,9 @@ import os
 import sys
 import tempfile
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import numpy as np
 
 from sed_tpu.config import AUDIO_16K, LABELS
