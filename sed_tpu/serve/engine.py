@@ -74,7 +74,7 @@ class SedInferenceEngine:
                  sed_params: SedParams = PREDICT_SED_PARAMS,
                  batch_size: int = 32,
                  labels: Sequence[str] = sed_config.LABELS,
-                 mesh=None):
+                 mesh=None, gather_format: str = 'packed'):
         self.model = model
         self.variables = variables
         self.cfg = cfg
@@ -85,6 +85,8 @@ class SedInferenceEngine:
         self.batch_size = batch_size
         self.labels = labels
         self.window_samples = cfg.sample_rate * sample_duration
+        assert gather_format in ('packed', 'float')
+        self.gather_format = gather_format
 
         def _prep(wav):
             # int16 PCM is dequantized on device (halves host->device
@@ -135,10 +137,40 @@ class SedInferenceEngine:
             # (B, T, C)[idx_n, :, idx_c] -> (K, T)
             return framewise[idx_n, :, idx_c]
 
+        # Packed-gather variant: threshold-compare and bit-pack the K
+        # gathered tracks on device, shipping 128 B per track instead of
+        # 2 KB (numerically exact — the decoder only consumes the two
+        # crossing masks).  The pack matmul runs on the small (2K, T)
+        # gathered block, which avoids the slow whole-batch transpose.
+        t_frames = len(coverage)
+        tb = max(64, -(-(-(-t_frames // 8)) // 64) * 64)
+        pack_w = np.zeros((tb * 8, tb), np.float32)
+        for t_ in range(t_frames):
+            pack_w[t_, t_ // 8] = float(1 << (7 - (t_ & 7)))
+        pcls = sed_params.per_class(len(labels)) \
+            if hasattr(sed_params, 'per_class') else dict(sed_params)
+        high_dev = jnp.asarray(
+            np.asarray(pcls['sed_high_threshold'], np.float32))
+        low_dev = jnp.asarray(
+            np.asarray(pcls['sed_low_threshold'], np.float32))
+
+        def _gather_packed(framewise, idx_n, idx_c):
+            tracks = framewise[idx_n, :, idx_c]            # (K, T) f32
+            hi = (tracks > jnp.take(high_dev, idx_c)[:, None])
+            lo = (tracks >= jnp.take(low_dev, idx_c)[:, None])
+            both = jnp.concatenate([hi, lo], axis=0).astype(jnp.float32)
+            both = jnp.pad(both,
+                           ((0, 0), (0, tb * 8 - tracks.shape[1])))
+            packed = jnp.matmul(both, jnp.asarray(pack_w)
+                                ).astype(jnp.uint8)        # (2K, TB)
+            k = tracks.shape[0]
+            return jnp.concatenate([packed[:k], packed[k:]], axis=1)
+
         self._forward_scan = jax.jit(_forward_scan, **jit_kw)
         self._gather_tracks = jax.jit(_gather_tracks)
-        self._out_frames = len(coverage)
-        self._track_bytes = -(-self._out_frames // 8)
+        self._gather_packed = jax.jit(_gather_packed)
+        self._out_frames = t_frames
+        self._track_bytes = tb
 
     def _clip_out_frames(self) -> int:
         """Framewise output length for one sample_duration window,
@@ -315,6 +347,9 @@ class SedInferenceEngine:
             [h[3] for h in handles], axis=0))        # (ceil(n/bs)*bs, C)
         gathers = []
         G = self._gather_chunk
+        gather_fn = (self._gather_packed
+                     if self.gather_format == 'packed'
+                     else self._gather_tracks)
         for bi, (i0, valid, framewise_dev, _tm) in enumerate(handles):
             track_max = tm_all[bi * bs:bi * bs + valid]
             act_n, act_c = np.nonzero(track_max > high[None, :])
@@ -325,9 +360,9 @@ class SedInferenceEngine:
                 idx_c = np.zeros(G, np.int32)
                 idx_n[:sub_n.size] = sub_n
                 idx_c[:sub_n.size] = sub_c
-                tracks_dev = self._gather_tracks(framewise_dev,
-                                                 jnp.asarray(idx_n),
-                                                 jnp.asarray(idx_c))
+                tracks_dev = gather_fn(framewise_dev,
+                                       jnp.asarray(idx_n),
+                                       jnp.asarray(idx_c))
                 gathers.append((i0, sub_n, sub_c, tracks_dev))
         # single pull for all gathered tracks
         if gathers:
@@ -344,20 +379,30 @@ class SedInferenceEngine:
                                                decode_packed_tracks)
         use_native = native_available()
         t_frames = self._out_frames
+        tb = self._track_bytes
         high_arr = np.asarray(p['sed_high_threshold'], np.float64)
         low_arr = np.asarray(p['sed_low_threshold'], np.float64)
         n_smooth_arr = np.asarray(p['n_smooth'], np.int32)
         n_salt_arr = np.asarray(p['n_salt'], np.int32)
-        for i0, act_n, act_c, tracks_dev in gathers:
-            tracks = np.asarray(tracks_dev)[:act_n.size]   # (K, T)
-            high_bits = tracks > high_arr[act_c][:, None]
-            low_bits = tracks >= low_arr[act_c][:, None]
+        for i0, act_n, act_c, tracks in gathers:
+            tracks = tracks[:act_n.size]
+            if self.gather_format == 'packed':
+                high_packed = np.ascontiguousarray(tracks[:, :tb])
+                low_packed = np.ascontiguousarray(tracks[:, tb:])
+            else:                                          # float tracks
+                high_packed = np.packbits(
+                    tracks > high_arr[act_c][:, None], axis=1)
+                low_packed = np.packbits(
+                    tracks >= low_arr[act_c][:, None], axis=1)
             if use_native:
                 all_pairs = decode_packed_tracks(
-                    np.packbits(high_bits, axis=1),
-                    np.packbits(low_bits, axis=1), t_frames,
+                    high_packed, low_packed, t_frames,
                     n_smooth_arr[act_c], n_salt_arr[act_c])
             else:
+                high_bits = np.unpackbits(
+                    high_packed, axis=1)[:, :t_frames].astype(bool)
+                low_bits = np.unpackbits(
+                    low_packed, axis=1)[:, :t_frames].astype(bool)
                 all_pairs = [
                     vad.activity_detection_masks(
                         high_bits[j], low_bits[j],

@@ -86,6 +86,20 @@ def test_mesh_parallel_serving_matches_single(engine):
         assert sorted(g, key=key) == sorted(w, key=key)
 
 
+def test_packed_gather_matches_float_gather(engine):
+    """The on-device packed-mask gather must be event-identical to the
+    float-track gather (the decode consumes only crossing masks)."""
+    float_engine = SedInferenceEngine(
+        engine.model, engine.variables, AUDIO_16K, sample_duration=5,
+        overlap=True, batch_size=8, gather_format='float')
+    rng = np.random.RandomState(11)
+    wavs = rng.uniform(-0.3, 0.3,
+                       (8, AUDIO_16K.sample_rate * 5)).astype(np.float32)
+    got, _ = engine.predict_clips(wavs)       # default: packed
+    want, _ = float_engine.predict_clips(wavs)
+    assert got == want
+
+
 def test_predict_waveforms_matches_per_file(engine):
     """Cross-file window batching must equal per-file prediction."""
     rng = np.random.RandomState(9)
