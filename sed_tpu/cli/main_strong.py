@@ -262,9 +262,13 @@ def inference_prob_overlap(args):
                                  overlap_value, sample_duration)
         t0 = time.time()
         pairs = list(_test_clip_waveforms(args, cfg))
-        full_event_list = engine.predict_waveforms(
-            [a for _, a in pairs], [n for n, _ in pairs],
-            duration=10.0, step=overlap_value)
+        names = [n for n, _ in pairs]
+        wavs = np.stack([a for _, a in pairs])
+        # fully on-device: window slicing, forward, overlap-add merge,
+        # coverage normalization, packed-mask gathers
+        per_clip = engine.predict_clips_windowed(
+            wavs, names, duration=10.0, step=overlap_value)
+        full_event_list = [e for evs in per_clip for e in evs]
         print('Processing time for {}: {} s'.format(
             [overlap_value, sample_duration], time.time() - t0))
         post_events.write_submission(full_event_list, submission)

@@ -137,18 +137,29 @@ class SedInferenceEngine:
             # (B, T, C)[idx_n, :, idx_c] -> (K, T)
             return framewise[idx_n, :, idx_c]
 
-        # Packed-gather variant: threshold-compare and bit-pack the K
-        # gathered tracks on device, shipping 128 B per track instead of
-        # 2 KB (numerically exact — the decoder only consumes the two
-        # crossing masks).  The pack matmul runs on the small (2K, T)
-        # gathered block, which avoids the slow whole-batch transpose.
         t_frames = len(coverage)
+        self._forward_scan = jax.jit(_forward_scan, **jit_kw)
+        self._gather_tracks = jax.jit(_gather_tracks)
+        self._gather_packed, self._track_bytes = \
+            self._make_packed_gather(t_frames)
+        self._out_frames = t_frames
+
+    def _make_packed_gather(self, t_frames: int):
+        """Build a jitted packed gather for tracks of ``t_frames``.
+
+        Threshold-compares and bit-packs the K gathered tracks on device,
+        shipping 128 B/track instead of a 2 KB float track (numerically
+        exact — the decoder only consumes the two crossing masks).  The
+        pack matmul runs on the small (2K, T) gathered block, which avoids
+        the slow whole-batch transpose on this backend.
+        """
         tb = max(64, -(-(-(-t_frames // 8)) // 64) * 64)
         pack_w = np.zeros((tb * 8, tb), np.float32)
         for t_ in range(t_frames):
             pack_w[t_, t_ // 8] = float(1 << (7 - (t_ & 7)))
-        pcls = sed_params.per_class(len(labels)) \
-            if hasattr(sed_params, 'per_class') else dict(sed_params)
+        pcls = self.sed_params.per_class(len(self.labels)) \
+            if hasattr(self.sed_params, 'per_class') \
+            else dict(self.sed_params)
         high_dev = jnp.asarray(
             np.asarray(pcls['sed_high_threshold'], np.float32))
         low_dev = jnp.asarray(
@@ -166,11 +177,7 @@ class SedInferenceEngine:
             k = tracks.shape[0]
             return jnp.concatenate([packed[:k], packed[k:]], axis=1)
 
-        self._forward_scan = jax.jit(_forward_scan, **jit_kw)
-        self._gather_tracks = jax.jit(_gather_tracks)
-        self._gather_packed = jax.jit(_gather_packed)
-        self._out_frames = t_frames
-        self._track_bytes = tb
+        return jax.jit(_gather_packed), tb
 
     def _clip_out_frames(self) -> int:
         """Framewise output length for one sample_duration window,
@@ -275,6 +282,139 @@ class SedInferenceEngine:
                     merged, name, self.sed_params,
                     self.cfg.frames_per_second, self.labels))
         return events
+
+    def _windowed_pipeline(self, clip_samples: int, duration: float,
+                           step: float):
+        """Device pipeline for uniform-length clips with overlapped
+        windows: slice windows, forward, overlap-add merge
+        (``utilities.py:405-446`` math), coverage-normalize and reduce —
+        everything on device; cached per (clip_samples, duration, step)."""
+        key = (clip_samples, float(duration), float(step))
+        cache = getattr(self, '_windowed_cache', None)
+        if cache is None:
+            cache = self._windowed_cache = {}
+        if key in cache:
+            return cache[key]
+
+        starts = window_starts(duration, self.sample_duration,
+                               True, step)
+        w_count = len(starts)
+        sr = self.cfg.sample_rate
+        offs = [int(s * sr) for s in starts]
+        interval = int(100 * step)
+        t_win = self._out_frames
+        total = t_win + (w_count - 1) * interval
+        coverage = post_merge.coverage_counts(total, self.sample_duration,
+                                              step)
+        model = self.model
+
+        def fn(variables, wavs):                   # (Nc, clip_samples)
+            if wavs.dtype == jnp.int16:
+                wavs = wavs.astype(jnp.float32) / 32767.0
+            wins = jnp.stack(
+                [jax.lax.slice_in_dim(wavs, o, o + self.window_samples,
+                                      axis=1) for o in offs],
+                axis=1)                            # (Nc, W, win_samples)
+            nc = wins.shape[0]
+            out = model.apply(variables,
+                              wins.reshape(nc * w_count, -1),
+                              train=False)['framewise_output']
+            fw = out.reshape(nc, w_count, t_win, -1)
+            merged = jnp.zeros((nc, total, fw.shape[-1]), fw.dtype)
+            for w in range(w_count):     # static offsets: W scatter-adds
+                merged = merged.at[:, w * interval:
+                                   w * interval + t_win].add(fw[:, w])
+            merged = merged / jnp.asarray(coverage,
+                                          merged.dtype)[None, :, None]
+            return merged, jnp.max(merged, axis=1)
+
+        gather_fn, tb = self._make_packed_gather(total)
+        entry = (jax.jit(fn), gather_fn, tb, total, w_count)
+        cache[key] = entry
+        return entry
+
+    def predict_clips_windowed(self, wavs: np.ndarray, names: List[str],
+                               duration: float,
+                               step: float) -> List[List[dict]]:
+        """Uniform-length clips -> per-clip events with overlapped
+        windows merged on device (the TPU-native
+        ``inference_prob_overlap`` path, ``main_strong.py:769-835``)."""
+        from sed_tpu.native.vad_native import (native_available,
+                                               decode_packed_tracks)
+        n, clip_samples = wavs.shape
+        fn, gather_fn, tb, total, w_count = self._windowed_pipeline(
+            clip_samples, duration, step)
+        p = self.sed_params.per_class(len(self.labels)) \
+            if hasattr(self.sed_params, 'per_class') \
+            else dict(self.sed_params)
+        high = np.asarray(p['sed_high_threshold'], np.float64)
+        n_smooth_arr = np.asarray(p['n_smooth'], np.int32)
+        n_salt_arr = np.asarray(p['n_salt'], np.int32)
+        fps = float(self.cfg.frames_per_second)
+        use_native = native_available()
+
+        nc = max(1, self.batch_size // w_count)
+        handles = []
+        for i0 in range(0, n, nc):
+            chunk = wavs[i0:i0 + nc]
+            pad = nc - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:],
+                                     chunk.dtype)])
+            merged_dev, tm_dev = fn(self.variables, jnp.asarray(chunk))
+            handles.append((i0, nc - pad, merged_dev, tm_dev))
+
+        per_clip: List[List[dict]] = [[] for _ in range(n)]
+        G = self._gather_chunk
+        gathers = []
+        tm_all = np.asarray(jnp.concatenate([h[3] for h in handles]))
+        for bi, (i0, valid, merged_dev, _tm) in enumerate(handles):
+            track_max = tm_all[bi * nc:bi * nc + valid]
+            act_n, act_c = np.nonzero(track_max > high[None, :])
+            for j0 in range(0, act_n.size, G):
+                sub_n = act_n[j0:j0 + G]
+                sub_c = act_c[j0:j0 + G]
+                idx_n = np.zeros(G, np.int32)
+                idx_c = np.zeros(G, np.int32)
+                idx_n[:sub_n.size] = sub_n
+                idx_c[:sub_n.size] = sub_c
+                gathers.append((i0, sub_n, sub_c,
+                                gather_fn(merged_dev, jnp.asarray(idx_n),
+                                          jnp.asarray(idx_c))))
+        if gathers:
+            flat = np.asarray(jnp.concatenate([g[3] for g in gathers]))
+            gathers = [(i0, sn, sc, flat[k * G:(k + 1) * G])
+                       for k, (i0, sn, sc, _d) in enumerate(gathers)]
+        for i0, act_n, act_c, packed in gathers:
+            packed = packed[:act_n.size]
+            if use_native:
+                all_pairs = decode_packed_tracks(
+                    np.ascontiguousarray(packed[:, :tb]),
+                    np.ascontiguousarray(packed[:, tb:]), total,
+                    n_smooth_arr[act_c], n_salt_arr[act_c])
+            else:
+                hi = np.unpackbits(packed[:, :tb],
+                                   axis=1)[:, :total].astype(bool)
+                lo = np.unpackbits(packed[:, tb:],
+                                   axis=1)[:, :total].astype(bool)
+                all_pairs = [
+                    vad.activity_detection_masks(
+                        hi[j], lo[j],
+                        n_smooth=p['n_smooth'][int(act_c[j])],
+                        n_salt=p['n_salt'][int(act_c[j])])
+                    for j in range(act_n.size)
+                ]
+            for j, pairs in enumerate(all_pairs):
+                c = int(act_c[j])
+                clip_i = i0 + int(act_n[j])
+                for bgn, fin in pairs:
+                    per_clip[clip_i].append({
+                        'filename': names[clip_i],
+                        'onset': bgn / fps,
+                        'offset': fin / fps,
+                        'event_label': self.labels[c]})
+        return per_clip
 
     def predict_file(self, path: str) -> Tuple[List[dict], str]:
         """Audio file -> (event list sorted by onset, XML string)."""

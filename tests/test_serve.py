@@ -114,6 +114,24 @@ def test_predict_waveforms_matches_per_file(engine):
     assert sorted(got, key=key) == sorted(want, key=key)
 
 
+def test_windowed_clips_match_host_merge(engine):
+    """Device-side overlap-add + packed decode must equal the host-merge
+    path for uniform 10 s clips (the inference_prob_overlap grid)."""
+    eng = SedInferenceEngine(engine.model, engine.variables, AUDIO_16K,
+                             sample_duration=6, overlap=True,
+                             overlap_value=0.5, batch_size=18)
+    rng = np.random.RandomState(13)
+    wavs = rng.uniform(-0.3, 0.3,
+                       (3, AUDIO_16K.sample_rate * 10)).astype(np.float32)
+    names = ['a', 'b', 'c']
+    got = eng.predict_clips_windowed(wavs, names, duration=10.0, step=0.5)
+    key = lambda e: (e['onset'], e['event_label'])  # noqa: E731
+    for i, name in enumerate(names):
+        want = eng.predict_waveform(wavs[i], name, duration=10.0,
+                                    step=0.5)
+        assert sorted(got[i], key=key) == sorted(want, key=key)
+
+
 def test_bulk_matches_per_file(engine):
     """predict_clips must agree with predict_waveform for 5 s clips."""
     rng = np.random.RandomState(3)
