@@ -142,6 +142,35 @@ def save_wav(path: str, x: np.ndarray, sr: int) -> None:
     wavfile.write(path, sr, (data * 32767.0).astype(np.int16))
 
 
+def trim_silent(x: np.ndarray, sr: int, top_db: float = 18.0,
+                frame_length: int = 2048, hop_length: int = 512):
+    """Split audio on silence (librosa.effects.split semantics): returns
+    (non-silent intervals [[start, end), ...] in samples, concatenated
+    non-silent audio).  Equivalent of the reference's unused helper
+    (``pytorch/predict.py:40-55``)."""
+    if len(x) < frame_length:
+        rms = np.asarray([np.sqrt(np.mean(x ** 2) + 1e-12)])
+    else:
+        n = 1 + (len(x) - frame_length) // hop_length
+        frames = np.lib.stride_tricks.as_strided(
+            x, shape=(n, frame_length),
+            strides=(x.strides[0] * hop_length, x.strides[0]))
+        rms = np.sqrt(np.mean(frames ** 2, axis=1) + 1e-12)
+    db = 20.0 * np.log10(np.maximum(rms, 1e-10))
+    non_silent = db > (db.max() - top_db)
+    idx = np.flatnonzero(non_silent)
+    if idx.size == 0:
+        return np.zeros((0, 2), np.int64), x[:0]
+    gaps = np.flatnonzero(np.diff(idx) > 1)
+    starts = idx[np.concatenate(([0], gaps + 1))] * hop_length
+    ends = np.minimum(
+        (idx[np.concatenate((gaps, [idx.size - 1]))] + 1) * hop_length
+        + frame_length - hop_length, len(x))
+    intervals = np.stack([starts, ends], axis=1)
+    audio = np.concatenate([x[s:e] for s, e in intervals])
+    return intervals, audio
+
+
 def pad_truncate(x: np.ndarray, max_len: int) -> np.ndarray:
     """Zero-pad or truncate to ``max_len``
     (``utils/utilities.py:66-71``)."""
