@@ -92,10 +92,11 @@ def build_model_and_variables(args, cfg: AudioConfig, ws: Workspace,
     model = get_model(args.model_type, cfg, feature_type=args.feature_type)
     path = checkpoint
     if path is None:
+        from sed_tpu.train.checkpoint import best_checkpoint_path
         orbax = ws.checkpoint_path(args.feature_type, cfg.name)
         pth = ws.torch_checkpoint_path(args.feature_type, cfg.name)
-        path = orbax if os.path.isdir(orbax) else (
-            pth if os.path.isfile(pth) else None)
+        path = (best_checkpoint_path(orbax) if os.path.isdir(orbax)
+                else None) or (pth if os.path.isfile(pth) else None)
     if path is not None:
         from sed_tpu.train.checkpoint import load_variables
         variables = load_variables(path)

@@ -41,7 +41,9 @@ def train(args):
     from sed_tpu.augment.functional import MixupGenerator
     from sed_tpu.models.registry import get_model
     from sed_tpu.parallel import mesh as mesh_lib
-    from sed_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from sed_tpu.train.checkpoint import (restore_checkpoint,
+                                          resume_checkpoint_path,
+                                          save_best_checkpoint)
     from sed_tpu.train.state import create_train_state
     from sed_tpu.train.step import make_train_step
 
@@ -95,10 +97,15 @@ def train(args):
                                learning_rate=args.learning_rate)
     ckpt_dir = ws.checkpoint_path(args.feature_type, cfg.name, create=True)
     iteration = 0
-    if args.resume_iteration > 0 and os.path.isdir(ckpt_dir):
-        state = restore_checkpoint(ckpt_dir, state)
+    if args.resume_iteration > 0:
+        # restore the checkpoint saved at exactly this iteration
+        # (``pytorch/main_strong.py:205-213``)
+        resume_path = resume_checkpoint_path(ckpt_dir,
+                                             args.resume_iteration)
+        state = restore_checkpoint(resume_path, state)
         iteration = int(state.step)
-        logging.info('resumed from %s at iteration %d', ckpt_dir, iteration)
+        logging.info('resumed from %s at iteration %d', resume_path,
+                     iteration)
     if mesh is not None:
         state = jax.device_put(state, mesh_lib.replicated_sharding(mesh))
 
@@ -112,6 +119,11 @@ def train(args):
                           batch_size=args.batch_size)
     statistics_container = StatisticsContainer(
         ws.statistics_path(args.feature_type, cfg.name, create=True))
+    if args.resume_iteration > 0 and os.path.isfile(
+            statistics_container.statistics_path):
+        # drop eval statistics recorded past the resume point
+        # (``utils/utilities.py:358-371``)
+        statistics_container.load_state_dict(args.resume_iteration)
     submission = ws.submission_path(create=True)
     mixup_gen = MixupGenerator(mixup_alpha=1.0)
 
@@ -149,9 +161,9 @@ def train(args):
                     if fmap >= best_map and er < best_er:
                         best_map, best_er, best_iteration = \
                             fmap, er, iteration
-                        save_checkpoint(ckpt_dir, state)
+                        saved = save_best_checkpoint(ckpt_dir, state)
                         logging.info('Model saved to %s for iteration %d',
-                                     ckpt_dir, iteration)
+                                     saved, iteration)
             statistics_container.dump()
             logging.info('Train time: %.3f s, validate time: %.3f s',
                          train_fin_time - train_bgn_time,

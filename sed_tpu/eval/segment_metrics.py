@@ -137,7 +137,10 @@ class SegmentBasedMetrics:
         }
 
         class_wise = {}
-        f1s, ers = [], []
+        avg_lists: Dict[str, List[float]] = {
+            k: [] for k in ('f_measure', 'precision', 'recall',
+                            'error_rate', 'deletion_rate',
+                            'insertion_rate')}
         for i, lb in enumerate(self.labels):
             cw = {k: float(v[i]) for k, v in self.class_wise.items()}
             nref_c = cw['Nref'] if cw['Nref'] > 0 else 1.0
@@ -154,16 +157,26 @@ class SegmentBasedMetrics:
                 'accuracy': self._accuracy(cw['Ntp'], cw['Ntn'], cw['Nfp'],
                                            cw['Nfn']),
             }
+            # macro averages over classes present in the reference
             if self.class_wise['Nref'][i] > 0:
-                f1s.append(fm['f_measure'])
-                ers.append(er['error_rate'])
+                for k in ('f_measure', 'precision', 'recall'):
+                    avg_lists[k].append(fm[k])
+                for k in ('error_rate', 'deletion_rate', 'insertion_rate'):
+                    avg_lists[k].append(er[k])
+
+        def _mean(key):
+            return float(np.mean(avg_lists[key])) if avg_lists[key] else 0.0
 
         class_wise_average = {
             'f_measure': {
-                'f_measure': float(np.mean(f1s)) if f1s else 0.0,
+                'f_measure': _mean('f_measure'),
+                'precision': _mean('precision'),
+                'recall': _mean('recall'),
             },
             'error_rate': {
-                'error_rate': float(np.mean(ers)) if ers else 0.0,
+                'error_rate': _mean('error_rate'),
+                'deletion_rate': _mean('deletion_rate'),
+                'insertion_rate': _mean('insertion_rate'),
             },
         }
         return {'overall': overall, 'class_wise': class_wise,

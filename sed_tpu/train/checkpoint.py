@@ -27,6 +27,61 @@ def save_checkpoint(path: str, state) -> None:
         ckptr.save(path, payload, force=True)
 
 
+def save_best_checkpoint(ckpt_dir: str, state) -> str:
+    """Save a step-tagged best checkpoint (``ckpt_dir/iter_<step>``) and
+    update the ``BEST`` marker.
+
+    The reference overwrites one fixed-name ``.pth`` per run
+    (``pytorch/main_strong.py:326-334``); keeping the lineage step-tagged
+    lets ``--resume_iteration N`` restore the checkpoint *at* N instead of
+    whatever was best last.
+    """
+    step = int(state.step)
+    path = os.path.join(os.path.abspath(ckpt_dir), f'iter_{step}')
+    save_checkpoint(path, state)
+    with open(os.path.join(ckpt_dir, 'BEST'), 'w') as f:
+        f.write(str(step))
+    return path
+
+
+def best_checkpoint_path(ckpt_dir: str) -> Optional[str]:
+    """Resolve the best checkpoint inside a lineage directory.
+
+    Prefers the ``BEST`` marker; falls back to the highest ``iter_*``
+    subdir, then to ``ckpt_dir`` itself when it is an old-style flat
+    Orbax checkpoint.
+    """
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    marker = os.path.join(ckpt_dir, 'BEST')
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            return os.path.join(ckpt_dir, f'iter_{int(f.read().strip())}')
+    if os.path.isdir(ckpt_dir):
+        iters = sorted(
+            (int(d[len('iter_'):]) for d in os.listdir(ckpt_dir)
+             if d.startswith('iter_') and d[len('iter_'):].isdigit()))
+        if iters:
+            return os.path.join(ckpt_dir, f'iter_{iters[-1]}')
+        if os.listdir(ckpt_dir):     # old-style flat Orbax dir
+            return ckpt_dir
+    return None
+
+
+def resume_checkpoint_path(ckpt_dir: str, iteration: int) -> str:
+    """Path of the checkpoint saved at exactly ``iteration`` — the
+    ``--resume_iteration N`` contract (``pytorch/main_strong.py:205-213``).
+    Raises with the available iterations when N was never saved."""
+    path = os.path.join(os.path.abspath(ckpt_dir), f'iter_{iteration}')
+    if os.path.isdir(path):
+        return path
+    have = sorted(int(d[len('iter_'):]) for d in
+                  (os.listdir(ckpt_dir) if os.path.isdir(ckpt_dir) else [])
+                  if d.startswith('iter_') and d[len('iter_'):].isdigit())
+    raise FileNotFoundError(
+        f'no checkpoint at iteration {iteration} in {ckpt_dir}; '
+        f'saved iterations: {have}')
+
+
 def restore_checkpoint(path: str, state):
     """Restore a SedTrainState saved by ``save_checkpoint``; the given
     state supplies the tree structure/shardings."""

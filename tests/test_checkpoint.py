@@ -6,8 +6,12 @@ import jax.numpy as jnp
 
 from sed_tpu.config import AUDIO_16K
 from sed_tpu.models.registry import get_model
-from sed_tpu.train.checkpoint import (load_variables, restore_checkpoint,
-                                      save_checkpoint)
+import pytest
+
+from sed_tpu.train.checkpoint import (best_checkpoint_path, load_variables,
+                                      restore_checkpoint,
+                                      resume_checkpoint_path,
+                                      save_best_checkpoint, save_checkpoint)
 from sed_tpu.train.state import create_train_state
 
 
@@ -37,3 +41,37 @@ def test_save_restore_roundtrip(tmp_path):
     assert 'params' in variables and 'batch_stats' in variables
     out = model.apply(variables, wav, train=False)
     assert out['clipwise_output'].shape == (1, 25)
+
+
+def test_step_tagged_lineage_and_resume_at_iteration(tmp_path):
+    """``--resume_iteration N`` restores the checkpoint saved AT N
+    (``pytorch/main_strong.py:205-213``), not whatever best came later."""
+    model = get_model('Cnn_9layers_FrameAvg', AUDIO_16K)
+    wav = jnp.zeros((1, AUDIO_16K.sample_rate), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), wav)
+    grads = jax.tree.map(jnp.ones_like, state.params)
+
+    ckpt_dir = str(tmp_path / 'best_logmel_16k')
+    state = state.apply_gradients(grads=grads)          # step 1
+    save_best_checkpoint(ckpt_dir, state)
+    params_at_1 = jax.tree.leaves(state.params)
+    for _ in range(2):
+        state = state.apply_gradients(grads=grads)      # step 3
+    save_best_checkpoint(ckpt_dir, state)
+
+    # BEST marker points at the latest save
+    assert best_checkpoint_path(ckpt_dir).endswith('iter_3')
+    # exact-iteration resume
+    fresh = create_train_state(model, jax.random.PRNGKey(1), wav)
+    restored = restore_checkpoint(resume_checkpoint_path(ckpt_dir, 1),
+                                  fresh)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(restored.params), params_at_1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a never-saved iteration raises, listing what exists
+    with pytest.raises(FileNotFoundError, match=r'\[1, 3\]'):
+        resume_checkpoint_path(ckpt_dir, 2)
+    # old-style flat checkpoint dirs still resolve (backward compat)
+    flat = str(tmp_path / 'flat')
+    save_checkpoint(flat, state)
+    assert best_checkpoint_path(flat) == flat

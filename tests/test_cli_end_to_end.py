@@ -103,6 +103,25 @@ def test_02_train_saves_best_checkpoint(dataset_dir, workspace):
     assert os.path.isdir(ckpt), 'best checkpoint not saved'
 
 
+def test_02b_resume_at_iteration(dataset_dir, workspace):
+    """Resume training from the checkpoint saved at exactly iteration 2
+    (``pytorch/main_strong.py:205-213``) and extend the lineage."""
+    ckpt_dir = os.path.join(
+        workspace, 'checkpoints', 'main_strong', 'holdout_fold=1',
+        'model_type=Cnn_9layers_FrameAvg', 'loss_type=clip_bce',
+        'augmentation=specaugment_timeshift_mixup', 'batch_size=2',
+        'best_logmel_16k')
+    assert os.path.isdir(os.path.join(ckpt_dir, 'iter_2'))
+    main_strong_cli.main(['train', '--dataset_dir', dataset_dir,
+                          '--workspace', workspace, *COMMON,
+                          '--learning_rate', '1e-3',
+                          '--resume_iteration', '2',
+                          '--stop_iteration', '5',
+                          '--eval_interval', '2'])
+    assert os.path.isdir(os.path.join(ckpt_dir, 'iter_4')), \
+        'resumed run did not save a step-tagged best checkpoint'
+
+
 def test_03_inference_prob(dataset_dir, workspace):
     stats = main_strong_cli.inference_prob(
         main_strong_cli.get_parser().parse_args(

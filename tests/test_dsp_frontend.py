@@ -6,6 +6,8 @@ conv-based STFT/logmel against numpy/librosa gold.  Here the gold is an
 independent numpy implementation built directly on ``np.fft.rfft``.
 """
 
+import math
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -112,3 +114,42 @@ def test_power_to_db_top_db():
     db = np.asarray(frontend.power_to_db(x, top_db=40.0))
     assert db[0] == 0.0  # ref=1.0 -> zero shift
     assert db.min() >= db.max() - 40.0
+
+
+def test_mel_filterbank_vs_independent_construction():
+    """Cross-check ``filters.mel_filterbank`` against an independently
+    coded construction (librosa itself is not installable here; this
+    oracle shares no code path: piecewise-coded Slaney scale constants,
+    per-filter ``np.interp`` triangles, per-filter normalization).
+    Matches must hold to 1e-12 for all three quality triads."""
+    def hz2mel(f):
+        f = float(f)
+        if f < 1000.0:
+            return 3.0 * f / 200.0
+        return 15.0 + math.log(f / 1000.0) * (27.0 / math.log(6.4))
+
+    def mel2hz(m):
+        m = float(m)
+        if m < 15.0:
+            return 200.0 * m / 3.0
+        return 1000.0 * math.exp(math.log(6.4) / 27.0 * (m - 15.0))
+
+    for cfg in (AUDIO_8K, AUDIO_16K, AUDIO_32K):
+        sr, n_fft = cfg.sample_rate, cfg.window_size
+        n_mels, fmin, fmax = cfg.mel_bins, cfg.fmin, cfg.fmax
+        bins = np.linspace(0.0, sr / 2.0, n_fft // 2 + 1)
+        lo_m, hi_m = hz2mel(fmin), hz2mel(fmax)
+        corners = [mel2hz(lo_m + (hi_m - lo_m) * i / (n_mels + 1))
+                   for i in range(n_mels + 2)]
+        want = np.zeros((len(bins), n_mels))
+        for m in range(n_mels):
+            left, center, right = corners[m], corners[m + 1], corners[m + 2]
+            tri = np.interp(bins, [left, center, right], [0.0, 1.0, 0.0],
+                            left=0.0, right=0.0)
+            # interp leaves boundary values at the exact corner points;
+            # zero outside the open support like the ramp construction
+            tri[(bins <= left) | (bins >= right)] = 0.0
+            want[:, m] = tri * (2.0 / (right - left))
+        got = filters.mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12,
+                                   err_msg=cfg.name)
