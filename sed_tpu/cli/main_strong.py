@@ -61,20 +61,28 @@ def train(args):
     valid_h5 = common.hdf5_path(args, cfg, 'strong_validation')
     test_h5 = common.hdf5_path(args, cfg, 'testing')
 
+    # train streams ship int16 waveforms (dequantized on device by the
+    # jitted step — half the host->device bytes) and fetch with a worker
+    # pool; eval loaders keep the float path
+    train_dataset = AudiosetDataset(dequantize=False)
     dataset = AudiosetDataset()
+    workers = getattr(args, 'num_workers', 2)
     # batch-size scheme: weak x3, doubled under mixup
     # (``main_strong.py:229-236``)
     weak_bs = (args.batch_size * 3) * 2 if mixup else args.batch_size
     strong_bs = args.batch_size * 2 if mixup else args.batch_size
     weak_iter = cycle_iteration(
-        DataLoader(dataset, TrainSampler(weak_h5, weak_bs)))
+        DataLoader(train_dataset, TrainSampler(weak_h5, weak_bs),
+                   num_workers=workers))
     strong_iter = cycle_iteration(
-        DataLoader(dataset, TrainSampler(strong_h5, strong_bs)))
+        DataLoader(train_dataset, TrainSampler(strong_h5, strong_bs),
+                   num_workers=workers))
     strong_iters = [strong_iter]
     if getattr(args, 'fsd50k', False):
         fsd_h5 = common.hdf5_path(args, cfg, 'strong_fsd50k')
         strong_iters.append(cycle_iteration(
-            DataLoader(dataset, TrainSampler(fsd_h5, strong_bs))))
+            DataLoader(train_dataset, TrainSampler(fsd_h5, strong_bs),
+                       num_workers=workers)))
     valid_loader = DataLoader(dataset, TestSampler(valid_h5,
                                                    args.batch_size))
     test_loader = DataLoader(dataset, TestSampler(test_h5, args.batch_size))
@@ -357,6 +365,9 @@ def get_parser() -> argparse.ArgumentParser:
             sub.add_argument('--eval_interval', type=int, default=1000)
             sub.add_argument('--fsd50k', action='store_true',
                              default=False)
+            sub.add_argument('--num_workers', type=int, default=2,
+                             help='data-loader fetch threads (the '
+                                  'reference uses 8 torch workers)')
     return parser
 
 

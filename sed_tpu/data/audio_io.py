@@ -130,6 +130,107 @@ def fast_read_wav_int16(path: str) -> Tuple[np.ndarray, int]:
     return load_wav_int16(path)
 
 
+# ---------------------------------------------------------------------------
+# G.711 mu-law wire format (8 bits/sample)
+#
+# The serving link's host->device bandwidth bounds end-to-end throughput
+# (BENCHMARKS.md): int16 PCM costs 160 KB per 5 s clip.  Standard G.711
+# mu-law halves that; the engine dequantizes on device with a 256-entry
+# table lookup.  This is the telephony wire format, so .wav files with
+# format tag 7 (e.g. ffmpeg -acodec pcm_mulaw) are read without
+# transcoding.
+# ---------------------------------------------------------------------------
+
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+_mulaw_tables: dict = {}
+
+
+def mulaw_decode_table() -> np.ndarray:
+    """(256,) float32: G.711 mu-law code -> linear sample in [-1, 1)."""
+    if 'dec' not in _mulaw_tables:
+        u = np.arange(256, dtype=np.int32) ^ 0xFF
+        sign = u & 0x80
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        mag = (((mantissa << 3) + _MULAW_BIAS) << exponent) - _MULAW_BIAS
+        lin = np.where(sign != 0, -mag, mag)
+        _mulaw_tables['dec'] = (lin / 32768.0).astype(np.float32)
+    return _mulaw_tables['dec']
+
+
+def mulaw_encode_table() -> np.ndarray:
+    """(65536,) uint8: int16 sample (viewed as uint16) -> mu-law code."""
+    if 'enc' not in _mulaw_tables:
+        x = np.arange(-32768, 32768, dtype=np.int32)
+        sign = np.where(x < 0, 0x80, 0).astype(np.int32)
+        mag = np.clip(np.abs(x), 0, _MULAW_CLIP) + _MULAW_BIAS
+        exponent = (np.floor(np.log2(mag)).astype(np.int32) - 7).clip(0, 7)
+        mantissa = (mag >> (exponent + 3)) & 0x0F
+        code = (~(sign | (exponent << 4) | mantissa)) & 0xFF
+        # index by the uint16 view of the int16 sample
+        table = np.empty(65536, np.uint8)
+        table[np.arange(-32768, 32768) & 0xFFFF] = code.astype(np.uint8)
+        _mulaw_tables['enc'] = table
+    return _mulaw_tables['enc']
+
+
+def mulaw_encode(x: np.ndarray) -> np.ndarray:
+    """float [-1, 1] or int16 -> (same shape) uint8 mu-law codes."""
+    if x.dtype != np.int16:
+        x = (np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int16)
+    return mulaw_encode_table()[x.view(np.uint16)]
+
+
+def mulaw_decode(u: np.ndarray) -> np.ndarray:
+    """uint8 mu-law codes -> float32 in [-1, 1) (host-side path)."""
+    return mulaw_decode_table()[u]
+
+
+def save_wav_mulaw(path: str, x: np.ndarray, sr: int) -> None:
+    """Write audio as a standard mu-law wav (format tag 7, 8 bits)."""
+    data = mulaw_encode(np.asarray(x)).tobytes()
+    n = len(data)
+    with open(path, 'wb') as f:
+        f.write(b'RIFF' + (36 + n).to_bytes(4, 'little') + b'WAVE')
+        f.write(b'fmt ' + (16).to_bytes(4, 'little'))
+        f.write((7).to_bytes(2, 'little'))          # WAVE_FORMAT_MULAW
+        f.write((1).to_bytes(2, 'little'))          # mono
+        f.write(int(sr).to_bytes(4, 'little'))
+        f.write(int(sr).to_bytes(4, 'little'))      # byte rate
+        f.write((1).to_bytes(2, 'little'))          # block align
+        f.write((8).to_bytes(2, 'little'))          # bits per sample
+        f.write(b'data' + n.to_bytes(4, 'little'))
+        f.write(data)
+
+
+def fast_read_wav_mulaw(path: str) -> Tuple[np.ndarray, int]:
+    """Read a mu-law wav as raw uint8 codes (no transcoding — the engine
+    dequantizes on device).  Falls back to encoding from the PCM reader
+    for non-mu-law files."""
+    with open(path, 'rb') as f:
+        buf = f.read()
+    if buf[:4] == b'RIFF' and buf[8:12] == b'WAVE':
+        pos = 12
+        sr = None
+        fmt = None
+        while pos + 8 <= len(buf):
+            chunk_id = buf[pos:pos + 4]
+            size = int.from_bytes(buf[pos + 4:pos + 8], 'little')
+            if chunk_id == b'fmt ':
+                fmt = int.from_bytes(buf[pos + 8:pos + 10], 'little')
+                channels = int.from_bytes(buf[pos + 10:pos + 12], 'little')
+                sr = int.from_bytes(buf[pos + 12:pos + 16], 'little')
+            elif chunk_id == b'data' and fmt == 7 and channels == 1:
+                return (np.frombuffer(buf, np.uint8, count=size,
+                                      offset=pos + 8), int(sr))
+            elif chunk_id == b'data':
+                break
+            pos += 8 + size + (size & 1)
+    pcm, sr = fast_read_wav_int16(path)
+    return mulaw_encode(pcm), sr
+
+
 def get_duration(path: str) -> float:
     """Duration in seconds (librosa.get_duration on a file)."""
     x, sr = load_audio(path, sr=None, mono=True)

@@ -27,24 +27,35 @@ from sed_tpu.data.hdf5_pack import int16_to_float32
 
 class AudiosetDataset:
     """Map-style dataset over packed HDF5 files, keyed by batch meta
-    ``{'hdf5_path', 'index_in_hdf5'}`` (``data_generator.py:15-49``)."""
+    ``{'hdf5_path', 'index_in_hdf5'}`` (``data_generator.py:15-49``).
 
-    def __init__(self):
-        self._handles: Dict[str, h5py.File] = {}
+    Handles are cached PER THREAD (h5py read handles are not
+    thread-safe), so the multi-worker ``DataLoader`` can read
+    concurrently.  With ``dequantize=False`` waveforms stay int16 as
+    packed — the jitted train step dequantizes on device, halving the
+    host->device bytes per batch.
+    """
+
+    def __init__(self, dequantize: bool = True):
+        self._handles: Dict[tuple, h5py.File] = {}
         self._lock = threading.Lock()
+        self.dequantize = dequantize
 
     def _file(self, path: str) -> h5py.File:
+        key = (threading.get_ident(), path)
         with self._lock:
-            if path not in self._handles:
-                self._handles[path] = h5py.File(path, 'r')
-            return self._handles[path]
+            hf = self._handles.get(key)
+            if hf is None:
+                hf = self._handles[key] = h5py.File(path, 'r')
+            return hf
 
     def __getitem__(self, meta: dict) -> dict:
         hf = self._file(meta['hdf5_path'])
         i = meta['index_in_hdf5']
+        wav = hf['waveform'][i]
         data = {
             'audio_name': hf['audio_name'][i].decode(),
-            'waveform': int16_to_float32(hf['waveform'][i]),
+            'waveform': int16_to_float32(wav) if self.dequantize else wav,
             'target': hf['target'][i].astype(np.float32),
         }
         if 'strong_target' in hf:
@@ -114,14 +125,23 @@ def collate_fn(list_data_dict: List[dict]) -> Dict[str, np.ndarray]:
 
 class DataLoader:
     """Dataset x sampler with background-thread prefetch (the stand-in
-    for torch DataLoader(num_workers=8), ``main_strong.py:254-268``)."""
+    for torch DataLoader(num_workers=8), ``main_strong.py:254-268``).
+
+    ``num_workers > 1`` fetches batches with a pool of threads and
+    reassembles them in sampler order, overlapping HDF5 reads with each
+    other and with device compute (the HDF5 read path releases the GIL
+    inside the HDF5 C library)."""
 
     def __init__(self, dataset: AudiosetDataset, batch_sampler,
-                 collate=collate_fn, prefetch: int = 4):
+                 collate=collate_fn, prefetch: int = 4,
+                 num_workers: int = 1):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.collate = collate
         self.prefetch = prefetch
+        self.num_workers = max(1, num_workers)
+
+    # -- single-thread path ------------------------------------------------
 
     def _produce(self, q: queue_mod.Queue, stop: threading.Event):
         try:
@@ -133,7 +153,76 @@ class DataLoader:
         except Exception as exc:  # surface worker errors to the consumer
             q.put(exc)
 
+    # -- multi-worker path (ordered reassembly) ------------------------------
+
+    def _feed(self, meta_q: queue_mod.Queue, budget: threading.Semaphore,
+              stop: threading.Event):
+        try:
+            for seq, batch_meta in enumerate(self.batch_sampler):
+                budget.acquire()
+                if stop.is_set():
+                    return
+                meta_q.put((seq, batch_meta))
+        finally:
+            for _ in range(self.num_workers):
+                meta_q.put(None)
+
+    def _work(self, meta_q: queue_mod.Queue, out: dict,
+              cond: threading.Condition, stop: threading.Event):
+        while True:
+            item = meta_q.get()
+            if item is None or stop.is_set():
+                with cond:
+                    out['done'] += 1
+                    cond.notify_all()
+                return
+            seq, batch_meta = item
+            try:
+                batch = self.collate([self.dataset[m] for m in batch_meta])
+            except Exception as exc:     # surfaced at the consumer
+                batch = exc
+            with cond:
+                out[seq] = batch
+                cond.notify_all()
+
+    def _iter_workers(self):
+        meta_q: queue_mod.Queue = queue_mod.Queue()
+        # how far workers may run ahead of the consumer
+        budget = threading.Semaphore(self.prefetch + self.num_workers)
+        out: dict = {'done': 0}
+        cond = threading.Condition()
+        stop = threading.Event()
+        threads = [threading.Thread(target=self._feed,
+                                    args=(meta_q, budget, stop),
+                                    daemon=True)]
+        threads += [threading.Thread(target=self._work,
+                                     args=(meta_q, out, cond, stop),
+                                     daemon=True)
+                    for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        seq = 0
+        try:
+            while True:
+                with cond:
+                    while seq not in out:
+                        if out['done'] == self.num_workers:
+                            return          # sampler exhausted
+                        cond.wait()
+                    batch = out.pop(seq)
+                if isinstance(batch, Exception):
+                    raise batch
+                budget.release()
+                yield batch
+                seq += 1
+        finally:
+            stop.set()
+            budget.release()     # unblock a parked feeder
+
     def __iter__(self):
+        if self.num_workers > 1:
+            yield from self._iter_workers()
+            return
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         worker = threading.Thread(target=self._produce, args=(q, stop),

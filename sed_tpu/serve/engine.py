@@ -88,12 +88,19 @@ class SedInferenceEngine:
         assert gather_format in ('packed', 'float')
         self.gather_format = gather_format
 
+        mulaw_table = jnp.asarray(audio_io.mulaw_decode_table())
+
         def _prep(wav):
-            # int16 PCM is dequantized on device (halves host->device
-            # traffic; exact for 16-bit wav files).
+            # quantized wire formats are dequantized on device: int16 PCM
+            # (exact, halves host->device traffic vs float32) and uint8
+            # G.711 mu-law (lossy telephony codec, quarters it; one
+            # 256-entry table gather)
             if wav.dtype == jnp.int16:
                 wav = wav.astype(jnp.float32) / 32767.0
+            elif wav.dtype == jnp.uint8:
+                wav = jnp.take(mulaw_table, wav.astype(jnp.int32))
             return wav
+        self._prep = _prep
 
         self.mesh = mesh
         if mesh is not None:
@@ -309,8 +316,7 @@ class SedInferenceEngine:
         model = self.model
 
         def fn(variables, wavs):                   # (Nc, clip_samples)
-            if wavs.dtype == jnp.int16:
-                wavs = wavs.astype(jnp.float32) / 32767.0
+            wavs = self._prep(wavs)
             wins = jnp.stack(
                 [jax.lax.slice_in_dim(wavs, o, o + self.window_samples,
                                       axis=1) for o in offs],

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 
 from sed_tpu.augment import functional as aug
 from sed_tpu.parallel import mesh as mesh_lib
@@ -42,8 +43,13 @@ def make_train_step(model, weak_loss_func: Callable,
             variables['batch_stats'] = batch_stats
         k1, k2 = jax.random.split(rng)
         lam = batch.get('mixup_lambda') if mixup else None
+        wav = batch['waveform']
+        if wav.dtype == jnp.int16:
+            # int16 PCM shipped as-is from the HDF5 (half the host->device
+            # bytes); dequantized on device (hdf5_pack.int16_to_float32)
+            wav = wav.astype(jnp.float32) / 32767.0
         out, mutated = model.apply(
-            variables, batch['waveform'], train=True,
+            variables, wav, train=True,
             mixup_lambda=lam, timeshift=timeshift,
             spec_augment=spec_augment,
             rngs={'dropout': k1, 'augment': k2},

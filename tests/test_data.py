@@ -137,3 +137,75 @@ def test_shard_for_host():
     batch = {'x': np.arange(8)}
     out = shard_for_host(batch, process_index=1, process_count=2)
     np.testing.assert_array_equal(out['x'], [4, 5, 6, 7])
+
+
+def test_multiworker_loader_matches_single_and_int16(packed):
+    """num_workers>1 must yield IDENTICAL batches in sampler order;
+    dequantize=False ships int16 waveforms unchanged."""
+    out, cfg = packed
+    ds = AudiosetDataset()
+    single = list(DataLoader(ds, TestSampler(out, 2)))
+    multi = list(DataLoader(ds, TestSampler(out, 2), num_workers=3))
+    assert len(single) == len(multi)
+    for a, b in zip(single, multi):
+        assert list(a) == list(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+    # infinite sampler: multi-worker stream stays ordered + deterministic
+    it1 = iter(DataLoader(ds, TrainSampler(out, 2), num_workers=3))
+    it2 = iter(DataLoader(ds, TrainSampler(out, 2)))
+    for _ in range(6):
+        a, b = next(it1), next(it2)
+        np.testing.assert_array_equal(a['waveform'], b['waveform'])
+
+    ds16 = AudiosetDataset(dequantize=False)
+    item = ds16[{'hdf5_path': out, 'index_in_hdf5': 0}]
+    assert item['waveform'].dtype == np.int16
+    ds.close()
+    ds16.close()
+
+
+def test_multiworker_loader_surfaces_errors(packed):
+    out, _ = packed
+    ds = AudiosetDataset()
+    bad = [[{'hdf5_path': out, 'index_in_hdf5': 0}],
+           [{'hdf5_path': out, 'index_in_hdf5': 999}]]  # out of range
+    loader = DataLoader(ds, bad, num_workers=2)
+    with pytest.raises(Exception):
+        list(loader)
+    ds.close()
+
+
+def test_train_step_accepts_int16_waveforms():
+    """The jitted step dequantizes int16 batches on device with results
+    identical to pre-converted float batches."""
+    import jax
+    import jax.numpy as jnp
+    from sed_tpu import losses
+    from sed_tpu.models.registry import get_model
+    from sed_tpu.train.state import create_train_state
+    from sed_tpu.train.step import make_train_step
+    from sed_tpu.data.hdf5_pack import int16_to_float32
+
+    cfg = AUDIO_16K
+    model = get_model('Cnn_9layers_FrameAvg', cfg)
+    rng = np.random.RandomState(0)
+    wav16 = rng.randint(-2000, 2000, (2, cfg.sample_rate)).astype(np.int16)
+    weak = {'waveform': wav16,
+            'target': (rng.rand(2, CLASSES_NUM) > 0.8).astype(np.float32)}
+    strong = {'waveform': wav16.copy(),
+              'strong_target': (rng.rand(2, 100, CLASSES_NUM) > 0.9)
+              .astype(np.float32)}
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(int16_to_float32(wav16)))
+    step = make_train_step(model, losses.clip_bce, losses.frame_bce,
+                           mixup=False, timeshift=False, spec_augment=False,
+                           donate=False)
+    _, m16 = step(state, weak, [strong], jax.random.PRNGKey(1))
+
+    weak_f = dict(weak, waveform=int16_to_float32(wav16))
+    strong_f = dict(strong, waveform=int16_to_float32(wav16))
+    _, mf = step(state, weak_f, [strong_f], jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m16['loss']), float(mf['loss']),
+                               rtol=1e-6)

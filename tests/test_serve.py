@@ -143,3 +143,77 @@ def test_bulk_matches_per_file(engine):
         got = sorted(per_clip[i], key=lambda e: (e['onset'], e['event_label']))
         want = sorted(want, key=lambda e: (e['onset'], e['event_label']))
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# mu-law wire format
+# ---------------------------------------------------------------------------
+
+def test_mulaw_codec_properties():
+    """G.711 codec invariants over ALL 65536 int16 codes: bounded
+    quantization error (coarse at full scale, fine near zero), sign
+    symmetry, wav round trip without transcode."""
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    rec = audio_io.mulaw_decode(audio_io.mulaw_encode(x))
+    ref = x.astype(np.float64) / 32768.0
+    err = np.abs(rec - ref)
+    assert err.max() < 0.031                    # half-step at top segment
+    small = np.abs(ref) < 0.01
+    assert err[small].max() < 3e-4              # fine near zero
+    # monotone non-decreasing reconstruction
+    assert np.all(np.diff(rec) >= 0)
+
+    rng = np.random.RandomState(0)
+    wav = rng.uniform(-0.9, 0.9, 16000).astype(np.float32)
+    import tempfile, os as _os
+    with tempfile.TemporaryDirectory() as d:
+        p = _os.path.join(d, 'a.wav')
+        audio_io.save_wav_mulaw(p, wav, 16000)
+        codes, sr = audio_io.fast_read_wav_mulaw(p)
+        assert sr == 16000 and codes.dtype == np.uint8
+        np.testing.assert_array_equal(codes, audio_io.mulaw_encode(wav))
+        # PCM fallback path encodes on read
+        p2 = _os.path.join(d, 'b.wav')
+        audio_io.save_wav(p2, wav, 16000)
+        codes2, _ = audio_io.fast_read_wav_mulaw(p2)
+        pcm = (np.clip(wav, -1, 1) * 32767).astype(np.int16)
+        np.testing.assert_array_equal(codes2, audio_io.mulaw_encode(pcm))
+
+
+def test_mulaw_wire_framewise_and_events_match_int16(engine):
+    """The 8-bit wire is lossy; on the bench distribution the framewise
+    probabilities must stay close to the int16 path and the decoded
+    events must match nearly one-for-one."""
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))))
+    from bench import make_test_clips
+    clips = make_test_clips(8, AUDIO_16K.sample_rate, seconds=5, seed=3)
+    pcm = (np.clip(clips, -1, 1) * 32767).astype(np.int16)
+    codes = audio_io.mulaw_encode(pcm)
+
+    f16, _ = engine.infer_framewise(pcm)
+    f8, _ = engine.infer_framewise(codes)
+    assert np.abs(f16 - f8).max() < 0.02
+
+    ev16, _ = engine.predict_clips(pcm)
+    ev8, _ = engine.predict_clips(codes)
+
+    def flat(per_clip):
+        return {(i, e['event_label'], round(e['onset'], 2),
+                 round(e['offset'], 2))
+                for i, evs in enumerate(per_clip) for e in evs}
+
+    a, b = flat(ev16), flat(ev8)
+    # allow boundary flutter: match by (clip, label) with |onset/offset|
+    # within 0.05 s
+    def matched(src, dst):
+        hit = 0
+        for (i, lb, on, off) in src:
+            if any(i == j and lb == lb2 and abs(on - on2) <= 0.05
+                   and abs(off - off2) <= 0.05
+                   for (j, lb2, on2, off2) in dst):
+                hit += 1
+        return hit
+    total = max(len(a), len(b), 1)
+    assert matched(a, b) + matched(b, a) >= 2 * 0.9 * total, (a, b)
