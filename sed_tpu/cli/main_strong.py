@@ -36,6 +36,9 @@ from sed_tpu.utils.statistics import StatisticsContainer
 
 
 def train(args):
+    from sed_tpu.parallel import distributed
+    distributed.maybe_initialize()   # multi-host (DCN) when env asks
+
     import jax
     import jax.numpy as jnp
     from sed_tpu.augment.functional import MixupGenerator
@@ -71,18 +74,19 @@ def train(args):
     # (``main_strong.py:229-236``)
     weak_bs = (args.batch_size * 3) * 2 if mixup else args.batch_size
     strong_bs = args.batch_size * 2 if mixup else args.batch_size
-    weak_iter = cycle_iteration(
-        DataLoader(train_dataset, TrainSampler(weak_h5, weak_bs),
-                   num_workers=workers))
-    strong_iter = cycle_iteration(
-        DataLoader(train_dataset, TrainSampler(strong_h5, strong_bs),
-                   num_workers=workers))
+    # every process draws the same seeded global stream and loads only
+    # its slice (no-op single-process)
+    def _train_loader(h5, bs):
+        sampler = distributed.HostShardedSampler(TrainSampler(h5, bs))
+        return DataLoader(train_dataset, sampler, num_workers=workers)
+
+    weak_iter = cycle_iteration(_train_loader(weak_h5, weak_bs))
+    strong_iter = cycle_iteration(_train_loader(strong_h5, strong_bs))
     strong_iters = [strong_iter]
     if getattr(args, 'fsd50k', False):
         fsd_h5 = common.hdf5_path(args, cfg, 'strong_fsd50k')
         strong_iters.append(cycle_iteration(
-            DataLoader(train_dataset, TrainSampler(fsd_h5, strong_bs),
-                       num_workers=workers)))
+            _train_loader(fsd_h5, strong_bs)))
     valid_loader = DataLoader(dataset, TestSampler(valid_h5,
                                                    args.batch_size))
     test_loader = DataLoader(dataset, TestSampler(test_h5, args.batch_size))
@@ -146,6 +150,11 @@ def train(args):
             logging.info('Iteration: %d', iteration)
             train_fin_time = time.time()
             params, batch_stats = state.params, state.batch_stats
+            if jax.process_count() > 1:
+                # params are replicated, so every host holds full copies;
+                # evaluate host-locally (identical results everywhere)
+                params = jax.tree.map(np.asarray, params)
+                batch_stats = jax.tree.map(np.asarray, batch_stats)
             for data_type, loader, ref_csv in [
                     ('valid', valid_loader, refs['valid']),
                     ('test', test_loader, refs['test'])]:
@@ -181,11 +190,18 @@ def train(args):
         weak_batch = next(weak_iter)
         strong_batches = [next(it) for it in strong_iters]
         if mixup:
-            weak_batch['mixup_lambda'] = mixup_gen.get_lambda(
-                len(weak_batch['waveform'])).astype(np.float32)
+            # every process draws the same GLOBAL lambda stream and keeps
+            # its slice, so mixup pairing is consistent across hosts
+            pc, pi = jax.process_count(), jax.process_index()
+
+            def _local_lambda(n_local):
+                lam = mixup_gen.get_lambda(n_local * pc).astype(np.float32)
+                return lam[pi * n_local:(pi + 1) * n_local]
+
+            weak_batch['mixup_lambda'] = _local_lambda(
+                len(weak_batch['waveform']))
             for b in strong_batches:
-                b['mixup_lambda'] = mixup_gen.get_lambda(
-                    len(b['waveform'])).astype(np.float32)
+                b['mixup_lambda'] = _local_lambda(len(b['waveform']))
         for b in (weak_batch, *strong_batches):
             b.pop('audio_name', None)
         weak_batch.pop('strong_target', None)

@@ -1,0 +1,87 @@
+"""Multi-host (DCN) process wiring.
+
+The reference has no multi-machine story (``torch.nn.DataParallel`` is
+single-process, SURVEY §2.12); the TPU-native one is: every host runs the
+same program, ``jax.distributed.initialize`` joins them into one runtime,
+the mesh spans all processes' devices, every host draws the SAME seeded
+global batch stream and loads only its slice
+(``HostShardedSampler``), and ``parallel.mesh.shard_batch`` assembles the
+global sharded array from per-host shards.  XLA then runs gradient
+all-reduce over ICI within a slice and DCN across slices.
+
+Invocation (per host)::
+
+    JAX_COORDINATOR_ADDRESS=host0:8476 JAX_NUM_PROCESSES=2 \
+    JAX_PROCESS_ID=<k> python -m sed_tpu.cli.main_strong train ...
+
+On Cloud TPU pods, ``SED_TPU_MULTIHOST=1`` uses JAX's automatic
+environment detection instead.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Iterator, List, Optional
+
+
+def maybe_initialize() -> bool:
+    """Join a multi-process JAX runtime when the environment asks for one.
+
+    Returns True when ``jax.distributed.initialize`` was called.  A
+    single-process run (no relevant env vars) is a no-op — the common
+    case stays zero-config.
+    """
+    import jax
+
+    coord = os.environ.get('JAX_COORDINATOR_ADDRESS')
+    nproc = (os.environ.get('JAX_NUM_PROCESSES')
+             or os.environ.get('JAX_PROCESS_COUNT'))
+    pid = (os.environ.get('JAX_PROCESS_ID')
+           or os.environ.get('JAX_PROCESS_INDEX'))
+    if coord and nproc is not None and pid is not None:
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=int(nproc),
+                                   process_id=int(pid))
+        logging.info('jax.distributed initialized: process %s of %s '
+                     '(coordinator %s)', pid, nproc, coord)
+        return True
+    if os.environ.get('SED_TPU_MULTIHOST') == '1':
+        jax.distributed.initialize()     # TPU-pod auto detection
+        logging.info('jax.distributed initialized from TPU environment: '
+                     'process %d of %d', jax.process_index(),
+                     jax.process_count())
+        return True
+    return False
+
+
+class HostShardedSampler:
+    """Wrap a batch-meta sampler so each host fetches only its share.
+
+    All processes construct identically-seeded samplers (so the global
+    stream is the same everywhere) and slice ``[k*share:(k+1)*share]`` —
+    per-host HDF5 IO drops by ``1/process_count`` instead of loading the
+    global batch and discarding most of it.
+    """
+
+    def __init__(self, sampler, process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        if process_count is None:
+            import jax
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        self.sampler = sampler
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
+
+    def __iter__(self) -> Iterator[List[dict]]:
+        k, n = self.process_index, self.process_count
+        for batch_meta in self.sampler:
+            if n == 1:
+                yield batch_meta
+                continue
+            share = len(batch_meta) // n
+            assert share * n == len(batch_meta), (
+                f'global batch {len(batch_meta)} must divide over '
+                f'{n} processes')
+            yield batch_meta[k * share:(k + 1) * share]

@@ -46,8 +46,23 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis: str = 'data') -> dict:
-    """Device-put every array in a batch dict with its batch axis sharded."""
+    """Device-put every array in a batch dict with its batch axis sharded.
+
+    Multi-process: each host passes its LOCAL slice of the global batch
+    (see ``parallel.distributed.HostShardedSampler``) and the global
+    sharded array is assembled from the per-process shards — the
+    device-side view is identical to the single-process case.
+    """
     sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        pc = jax.process_count()
+
+        def put(x):
+            x = np.asarray(x)
+            gshape = (x.shape[0] * pc,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sharding, x,
+                                                          gshape)
+        return jax.tree.map(put, batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
