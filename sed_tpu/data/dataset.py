@@ -1,16 +1,13 @@
 """HDF5-backed dataset, seeded samplers, and a prefetching loader.
 
-Mirrors ``utils/data_generator.py`` with two deliberate fixes:
-
-* the dataset keeps HDF5 handles open per path instead of reopening the
-  file for every item (``data_generator.py:37``);
-* ``TrainSampler`` draws ``audio_indexes[pointer]`` directly — the
-  reference composes the permutation with itself
-  (``data_generator.py:88-98``), which is distributionally identical but
-  gratuitous.
+Mirrors ``utils/data_generator.py`` (including ``TrainSampler``'s exact
+double-index RNG stream) with one deliberate fix: the dataset keeps HDF5
+handles open per (thread, path) instead of reopening the file for every
+item (``data_generator.py:37``).
 
 ``shard_for_host`` slices batches for multi-host (DCN) training: each
-process loads only its share of the global batch.
+process loads only its share of the global batch (the meta-level
+equivalent lives in ``parallel.distributed.HostShardedSampler``).
 """
 
 from __future__ import annotations
@@ -70,8 +67,13 @@ class AudiosetDataset:
 
 
 class TrainSampler:
-    """Infinite shuffled batch-meta stream, seed 1234
-    (``data_generator.py:52-101``)."""
+    """Infinite shuffled batch-meta stream, seed 1234, reproducing the
+    reference's exact RNG stream (``data_generator.py:52-101``): each
+    draw composes the permutation with itself
+    (``audio_indexes[audio_indexes[pointer]]``), and a mid-batch
+    reshuffle applies the NEW permutation to the OLD first index.
+    Distributionally this is just a shuffle, but bit-level training
+    trajectories match the reference only with the same stream."""
 
     def __init__(self, hdf5_path: str, batch_size: int,
                  random_seed: int = 1234):
@@ -93,8 +95,9 @@ class TrainSampler:
                 if self.pointer >= self.audios_num:
                     self.pointer = 0
                     self.random_state.shuffle(self.audio_indexes)
-                batch_meta.append({'hdf5_path': self.hdf5_path,
-                                   'index_in_hdf5': index})
+                batch_meta.append({
+                    'hdf5_path': self.hdf5_path,
+                    'index_in_hdf5': int(self.audio_indexes[index])})
             yield batch_meta
 
 

@@ -57,21 +57,29 @@ class SedFeatureBase(nn.Module):
     # conv-stack computation dtype; jnp.bfloat16 doubles MXU throughput
     # (frontend, BN stats, temporal modules and heads stay float32)
     compute_dtype: Optional[object] = None
+    # 'xla' (compiler-fused matmul chain) or 'pallas' (the fused VMEM
+    # kernel, sed_tpu/ops/logmel_kernel.py); numerics agree to ~1e-5
+    frontend_impl: str = 'xla'
 
     def compute_features(self, x: jnp.ndarray, train: bool,
                          mixup_lambda: Optional[jnp.ndarray],
                          timeshift: bool, spec_augment: bool) -> jnp.ndarray:
         """waveform (B, samples) or gamma (B, F, T) -> (B, T, F, 1)."""
         if self.feature_type == 'logmel':
-            stft_mat, mel_mat = _frontend_arrays(self.cfg)
-            spec = fe.spectrogram(x, jnp.asarray(stft_mat),
-                                  self.cfg.hop_size,
-                                  center=self.cfg.center,
-                                  pad_mode=self.cfg.pad_mode)
-            mel = jnp.matmul(spec, jnp.asarray(mel_mat))
-            x = fe.power_to_db(mel, ref=self.cfg.ref, amin=self.cfg.amin,
-                               top_db=self.cfg.top_db)
-            x = x[..., None]                      # (B, T, F, 1)
+            if self.frontend_impl == 'pallas':
+                from sed_tpu.ops.logmel_kernel import fused_logmel
+                x = fused_logmel(x, self.cfg)[..., None]
+            else:
+                stft_mat, mel_mat = _frontend_arrays(self.cfg)
+                spec = fe.spectrogram(x, jnp.asarray(stft_mat),
+                                      self.cfg.hop_size,
+                                      center=self.cfg.center,
+                                      pad_mode=self.cfg.pad_mode)
+                mel = jnp.matmul(spec, jnp.asarray(mel_mat))
+                x = fe.power_to_db(mel, ref=self.cfg.ref,
+                                   amin=self.cfg.amin,
+                                   top_db=self.cfg.top_db)
+                x = x[..., None]                  # (B, T, F, 1)
         elif self.feature_type == 'gamma':
             x = x.transpose(0, 2, 1)[..., None]   # (B, T, F, 1)
         else:

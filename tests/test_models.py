@@ -192,3 +192,25 @@ def test_interpolate_and_pad_helpers():
     np.testing.assert_array_equal(np.asarray(padded[0, -1]),
                                   np.asarray(x[0, -1]))
     assert blocks.roundup(496) == 500 and blocks.roundup(1000) == 1000
+
+
+def test_pallas_frontend_flag_matches_xla_path():
+    """frontend_impl='pallas' routes features through the fused kernel
+    (interpret mode on CPU) with outputs matching the XLA path."""
+    import jax
+    import numpy as np
+    from sed_tpu.config import AUDIO_16K
+    from sed_tpu.models.registry import get_model
+
+    cfg = AUDIO_16K
+    rng = np.random.RandomState(0)
+    wav = rng.uniform(-0.5, 0.5, (2, cfg.sample_rate)).astype(np.float32)
+    m_x = get_model('Cnn_9layers_FrameAvg', cfg)
+    m_p = get_model('Cnn_9layers_FrameAvg', cfg, frontend_impl='pallas')
+    variables = m_x.init({'params': jax.random.PRNGKey(0)}, wav,
+                         train=False)
+    out_x = m_x.apply(variables, wav, train=False)
+    out_p = m_p.apply(variables, wav, train=False)
+    np.testing.assert_allclose(np.asarray(out_p['framewise_output']),
+                               np.asarray(out_x['framewise_output']),
+                               rtol=1e-4, atol=1e-4)

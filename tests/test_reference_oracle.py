@@ -169,3 +169,54 @@ def test_fft_weights_and_fft_gtgram_head_to_head(ref_gt):
     want = fftweight.fft_gtgram(wave, fs, 0.025, 0.010, nfilts, 50)
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# TrainSampler RNG stream
+# ---------------------------------------------------------------------------
+
+def test_train_sampler_stream_head_to_head(tmp_path):
+    """Bit-exact batch-meta stream vs the actual reference TrainSampler
+    (``utils/data_generator.py:52-101``), across reshuffle boundaries.
+    The reference module's heavy imports (sed_eval via utilities,
+    matplotlib) are stubbed."""
+    import types
+    import h5py
+    from sed_tpu.data.dataset import TrainSampler
+
+    stubs = {}
+    if 'utilities' not in sys.modules:
+        fake = types.ModuleType('utilities')
+        fake.int16_to_float32 = lambda x: (x / 32767.0)
+        stubs['utilities'] = fake
+    if 'config' not in sys.modules:
+        stubs['config'] = types.ModuleType('config')
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        mpl = types.ModuleType('matplotlib')
+        mpl.pyplot = types.ModuleType('matplotlib.pyplot')
+        stubs['matplotlib'] = mpl
+        stubs['matplotlib.pyplot'] = mpl.pyplot
+    sys.modules.update(stubs)
+    sys.path.insert(0, os.path.join(REF, 'utils'))
+    try:
+        import data_generator as ref_dg
+    finally:
+        sys.path.pop(0)
+        for k in stubs:
+            sys.modules.pop(k, None)
+
+    path = str(tmp_path / 'train.h5')
+    with h5py.File(path, 'w') as hf:
+        hf.create_dataset('audio_name',
+                          data=[f'c{i}.wav'.encode() for i in range(11)])
+
+    for batch_size in (4, 7):
+        ours = iter(TrainSampler(path, batch_size))
+        theirs = iter(ref_dg.TrainSampler(path, batch_size))
+        for _ in range(40):      # > 10 reshuffles of the 11-item stream
+            a = next(ours)
+            b = next(theirs)
+            assert [m['index_in_hdf5'] for m in a] == \
+                [int(m['index_in_hdf5']) for m in b]
