@@ -7,9 +7,10 @@ coverage normalize -> dual-threshold event decode -> XML string) with the
 batched TPU engine.
 
 Configuration (env vars):
-  BENCH_WIRE=mulaw8|int16   wire format (default mulaw8: G.711 mu-law wav
-                            files, dequantized on device; int16 PCM is the
-                            exact-parity path)
+  BENCH_WIRE=mulaw8|int16|q4  wire format (default mulaw8: G.711 mu-law
+                            wav files, dequantized on device; int16 PCM is
+                            the exact-parity path; q4 is the 4-bit
+                            block-scaled .q4 container, ~41 KB/clip)
   BENCH_BF16=1|0            bfloat16 conv stack (default 1)
   BENCH_CLIPS / BENCH_BATCH / BENCH_REPEATS
 The model is the trained synthetic-tone checkpoint
@@ -102,18 +103,24 @@ def main():
     clips = make_test_clips(N_CLIPS, sr)
     tmpdir = tempfile.mkdtemp(prefix='sed_bench_')
     paths = []
+    ext = 'q4' if WIRE == 'q4' else 'wav'
     for i in range(N_CLIPS):
-        p = os.path.join(tmpdir, f'clip{i:05d}.wav')
-        if WIRE == 'mulaw8':
+        p = os.path.join(tmpdir, f'clip{i:05d}.{ext}')
+        if WIRE == 'q4':
+            audio_io.save_q4(p, clips[i], sr)
+        elif WIRE == 'mulaw8':
             audio_io.save_wav_mulaw(p, clips[i], sr)
         else:
             audio_io.save_wav(p, clips[i], sr)
         paths.append(p)
-    read = (audio_io.fast_read_wav_mulaw if WIRE == 'mulaw8'
-            else audio_io.fast_read_wav_int16)
+    read = {'q4': audio_io.read_q4,
+            'mulaw8': audio_io.fast_read_wav_mulaw,
+            'int16': audio_io.fast_read_wav_int16}[WIRE]
 
     # Warm up compile + caches (same dtype as the timed path).
-    if WIRE == 'mulaw8':
+    if WIRE == 'q4':
+        warm = audio_io.q4_encode(clips[:BATCH])
+    elif WIRE == 'mulaw8':
         warm = audio_io.mulaw_encode(clips[:BATCH])
     else:
         warm = (np.clip(clips[:BATCH], -1, 1) * 32767).astype(np.int16)

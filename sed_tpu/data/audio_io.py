@@ -231,6 +231,83 @@ def fast_read_wav_mulaw(path: str) -> Tuple[np.ndarray, int]:
     return mulaw_encode(pcm), sr
 
 
+# ---------------------------------------------------------------------------
+# q4 wire format: 4-bit block-scaled quantization (~4.1 bits/sample)
+#
+# The most bandwidth-lean serving wire: 128-sample blocks, int4 mantissas
+# against a per-block float16 scale, scales appended to the same uint8
+# buffer (one array per clip, so the engine's batch plumbing is format
+# agnostic).  ~41 KB per 5 s clip vs 80 KB mu-law / 160 KB int16.
+# Lossy (~24 dB SNR within a block); validated against the f32 path in
+# tests.  Device decode: nibble unpack + bitcast + one multiply.
+# ---------------------------------------------------------------------------
+
+Q4_BLOCK = 128
+
+
+def q4_bytes(samples: int) -> int:
+    """Wire bytes for ``samples`` samples (must divide by Q4_BLOCK)."""
+    assert samples % Q4_BLOCK == 0
+    return samples // 2 + (samples // Q4_BLOCK) * 2
+
+
+def q4_encode(x: np.ndarray) -> np.ndarray:
+    """float [-1,1] or int16 (B, S) -> (B, q4_bytes(S)) uint8."""
+    if x.dtype == np.int16:
+        x = x.astype(np.float32) / 32767.0
+    x = np.asarray(x, np.float32)
+    b, s = x.shape
+    blocks = x.reshape(b, s // Q4_BLOCK, Q4_BLOCK)
+    scale = np.abs(blocks).max(axis=2) / 7.0
+    # floor must survive the float16 cast (1e-6 is a representable f16
+    # subnormal; anything below ~6e-8 flushes to zero and poisons the
+    # divide)
+    scale = np.maximum(scale, 1e-6).astype(np.float16)
+    q = np.clip(np.round(blocks / scale.astype(np.float32)[:, :, None]),
+                -8, 7).astype(np.int32) + 8
+    q = q.reshape(b, s)
+    codes = ((q[:, 0::2] << 4) | q[:, 1::2]).astype(np.uint8)
+    return np.concatenate([codes, scale.view(np.uint8).reshape(b, -1)],
+                          axis=1)
+
+
+def q4_decode_np(buf: np.ndarray, samples: int) -> np.ndarray:
+    """Host-side reference decode (the engine decodes on device)."""
+    b = buf.shape[0]
+    nc = samples // 2
+    codes = buf[:, :nc].astype(np.int32)
+    scale = buf[:, nc:].view(np.float16).astype(np.float32)
+    q = np.empty((b, samples), np.int32)
+    q[:, 0::2] = (codes >> 4)
+    q[:, 1::2] = (codes & 0xF)
+    x = (q - 8).astype(np.float32).reshape(b, samples // Q4_BLOCK, Q4_BLOCK)
+    return (x * scale[:, :, None]).reshape(b, samples)
+
+
+def save_q4(path: str, x: np.ndarray, sr: int) -> None:
+    """Write one clip as a .q4 container (sed_tpu's packed serving
+    format: 13-byte header + q4 wire bytes)."""
+    x = np.asarray(x)
+    buf = q4_encode(x[None])[0]
+    with open(path, 'wb') as f:
+        f.write(b'SEDQ' + bytes([1]))
+        f.write(int(sr).to_bytes(4, 'little'))
+        f.write(int(x.shape[-1]).to_bytes(4, 'little'))
+        f.write(buf.tobytes())
+
+
+def read_q4(path: str) -> Tuple[np.ndarray, int, int]:
+    """Read a .q4 container -> (wire uint8 codes, sample_rate, samples).
+    The codes feed the engine directly (device-side decode)."""
+    with open(path, 'rb') as f:
+        head = f.read(13)
+        assert head[:5] == b'SEDQ\x01', f'not a q4 file: {path}'
+        sr = int.from_bytes(head[5:9], 'little')
+        samples = int.from_bytes(head[9:13], 'little')
+        return (np.frombuffer(f.read(q4_bytes(samples)), np.uint8),
+                sr, samples)
+
+
 def get_duration(path: str) -> float:
     """Duration in seconds (librosa.get_duration on a file)."""
     x, sr = load_audio(path, sr=None, mono=True)

@@ -90,13 +90,31 @@ class SedInferenceEngine:
 
         mulaw_table = jnp.asarray(audio_io.mulaw_decode_table())
 
-        def _prep(wav):
+        def _prep(wav, samples=None):
             # quantized wire formats are dequantized on device: int16 PCM
-            # (exact, halves host->device traffic vs float32) and uint8
-            # G.711 mu-law (lossy telephony codec, quarters it; one
-            # 256-entry table gather)
+            # (exact, halves host->device traffic vs float32), uint8 G.711
+            # mu-law (lossy telephony codec, quarters it; one 256-entry
+            # table gather), and 4-bit block-scaled q4 (~1/8, nibble
+            # unpack + bitcast + multiply) — q4 is recognized by its
+            # narrower wire width (audio_io.q4_encode packs scales into
+            # the same buffer)
+            if samples is None:
+                samples = self.window_samples
             if wav.dtype == jnp.int16:
                 wav = wav.astype(jnp.float32) / 32767.0
+            elif wav.dtype == jnp.uint8 and wav.shape[-1] != samples:
+                b = wav.shape[0]
+                nc = samples // 2
+                codes = wav[:, :nc].astype(jnp.int32)
+                scale = jax.lax.bitcast_convert_type(
+                    wav[:, nc:].reshape(b, -1, 2),
+                    jnp.float16).astype(jnp.float32)       # (B, S/128)
+                q = jnp.stack([codes >> 4, codes & 0xF],
+                              axis=-1).reshape(b, samples)
+                x = (q - 8).astype(jnp.float32)
+                x = x.reshape(b, samples // audio_io.Q4_BLOCK,
+                              audio_io.Q4_BLOCK) * scale[:, :, None]
+                wav = x.reshape(b, samples)
             elif wav.dtype == jnp.uint8:
                 wav = jnp.take(mulaw_table, wav.astype(jnp.int32))
             return wav
@@ -315,8 +333,8 @@ class SedInferenceEngine:
                                               step)
         model = self.model
 
-        def fn(variables, wavs):                   # (Nc, clip_samples)
-            wavs = self._prep(wavs)
+        def fn(variables, wavs):                   # (Nc, clip wire width)
+            wavs = self._prep(wavs, clip_samples)
             wins = jnp.stack(
                 [jax.lax.slice_in_dim(wavs, o, o + self.window_samples,
                                       axis=1) for o in offs],
@@ -340,14 +358,19 @@ class SedInferenceEngine:
         return entry
 
     def predict_clips_windowed(self, wavs: np.ndarray, names: List[str],
-                               duration: float,
-                               step: float) -> List[List[dict]]:
+                               duration: float, step: float,
+                               clip_samples: Optional[int] = None
+                               ) -> List[List[dict]]:
         """Uniform-length clips -> per-clip events with overlapped
         windows merged on device (the TPU-native
-        ``inference_prob_overlap`` path, ``main_strong.py:769-835``)."""
+        ``inference_prob_overlap`` path, ``main_strong.py:769-835``).
+        ``clip_samples`` names the true sample count when ``wavs`` is a
+        q4 wire buffer (whose width is narrower)."""
         from sed_tpu.native.vad_native import (native_available,
                                                decode_packed_tracks)
-        n, clip_samples = wavs.shape
+        n, width = wavs.shape
+        if clip_samples is None:
+            clip_samples = width
         fn, gather_fn, tb, total, w_count = self._windowed_pipeline(
             clip_samples, duration, step)
         p = self.sed_params.per_class(len(self.labels)) \
@@ -462,7 +485,10 @@ class SedInferenceEngine:
         n = wavs.shape[0]
         if names is None:
             names = [f'clip{i}.wav' for i in range(n)]
-        assert wavs.shape[1] == self.window_samples
+        widths = {self.window_samples}
+        if self.window_samples % audio_io.Q4_BLOCK == 0:
+            widths.add(audio_io.q4_bytes(self.window_samples))
+        assert wavs.shape[1] in widths, (wavs.shape, widths)
         p = self.sed_params.per_class(len(self.labels)) \
             if hasattr(self.sed_params, 'per_class') else self.sed_params
         high = np.asarray(p['sed_high_threshold'], np.float64)

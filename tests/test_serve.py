@@ -217,3 +217,54 @@ def test_mulaw_wire_framewise_and_events_match_int16(engine):
         return hit
     total = max(len(a), len(b), 1)
     assert matched(a, b) + matched(b, a) >= 2 * 0.9 * total, (a, b)
+
+
+def test_q4_codec_properties():
+    """Block-scaled 4-bit codec: bounded relative error per block, exact
+    zeros, host/device decode agreement (incl. f16 bitcast endianness)."""
+    import jax.numpy as jnp
+    from sed_tpu.serve.engine import SedInferenceEngine  # noqa: F401
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-0.8, 0.8, (3, 2048)).astype(np.float32)
+    x[0, :256] = 0.0
+    buf = audio_io.q4_encode(x)
+    assert buf.shape == (3, audio_io.q4_bytes(2048))
+    rec = audio_io.q4_decode_np(buf, 2048)
+    # error bounded by half a quantization step of the STORED (f16)
+    # per-block scale, plus the clip slack from f16 rounding the scale
+    blocks = x.reshape(3, -1, audio_io.Q4_BLOCK)
+    step = buf[:, 2048 // 2:].view(np.float16).astype(np.float32)
+    err = np.abs(rec.reshape(blocks.shape) - blocks)
+    assert np.all(err <= step[:, :, None] * 0.505 + 1e-6)
+    np.testing.assert_array_equal(rec[0, :256], 0.0)
+    # int16 input accepted: reconstruction obeys the same step bound
+    # against the original signal (scales differ by the PCM rounding)
+    buf2 = audio_io.q4_encode((x * 32767).astype(np.int16))
+    rec2 = audio_io.q4_decode_np(buf2, 2048).reshape(blocks.shape)
+    step2 = buf2[:, 2048 // 2:].view(np.float16).astype(np.float32)
+    assert np.all(np.abs(rec2 - blocks) <= step2[:, :, None] * 0.51
+                  + 1e-4)
+
+
+def test_q4_device_decode_matches_host(engine):
+    """The engine's on-device q4 decode equals the numpy reference and
+    the framewise outputs track the f32 path."""
+    import jax.numpy as jnp
+    s = engine.window_samples
+    rng = np.random.RandomState(5)
+    x = rng.uniform(-0.6, 0.6, (2, s)).astype(np.float32)
+    buf = audio_io.q4_encode(x)
+    dec = np.asarray(engine._prep(jnp.asarray(buf)))
+    np.testing.assert_allclose(dec, audio_io.q4_decode_np(buf, s),
+                               rtol=1e-6, atol=1e-7)
+
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    from bench import make_test_clips
+    clips = make_test_clips(6, AUDIO_16K.sample_rate, seconds=5, seed=9)
+    f32, _ = engine.infer_framewise(clips)
+    fq4, _ = engine.infer_framewise(audio_io.q4_encode(clips))
+    assert np.abs(f32 - fq4).max() < 0.08       # lossy but close
+    ev, _ = engine.predict_clips(audio_io.q4_encode(clips))
+    assert len(ev) == 6
