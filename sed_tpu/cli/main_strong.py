@@ -47,6 +47,7 @@ def train(args):
     from sed_tpu.train.checkpoint import (restore_checkpoint,
                                           resume_checkpoint_path,
                                           save_best_checkpoint)
+    from sed_tpu.train.prefetch import device_prefetch
     from sed_tpu.train.state import create_train_state
     from sed_tpu.train.step import make_train_step
 
@@ -139,6 +140,42 @@ def train(args):
     submission = ws.submission_path(create=True)
     mixup_gen = MixupGenerator(mixup_alpha=1.0)
 
+    def _assemble_batches():
+        # runs in the prefetch thread: draw, pair mixup lambdas, strip
+        # host-only fields — order matters for the lambda RNG stream
+        while True:
+            weak_batch = next(weak_iter)
+            strong_batches = [next(it) for it in strong_iters]
+            if mixup:
+                # every process draws the same GLOBAL lambda stream and
+                # keeps its slice, so mixup pairing is consistent across
+                # hosts
+                pc, pi = jax.process_count(), jax.process_index()
+
+                def _local_lambda(n_local):
+                    lam = mixup_gen.get_lambda(
+                        n_local * pc).astype(np.float32)
+                    return lam[pi * n_local:(pi + 1) * n_local]
+
+                weak_batch['mixup_lambda'] = _local_lambda(
+                    len(weak_batch['waveform']))
+                for b in strong_batches:
+                    b['mixup_lambda'] = _local_lambda(len(b['waveform']))
+            for b in (weak_batch, *strong_batches):
+                b.pop('audio_name', None)
+            weak_batch.pop('strong_target', None)
+            yield weak_batch, strong_batches
+
+    if mesh is not None:
+        _put = lambda t: (  # noqa: E731
+            mesh_lib.shard_batch(t[0], mesh),
+            [mesh_lib.shard_batch(b, mesh) for b in t[1]])
+    else:
+        _put = jax.device_put
+    # upload batch k+1 while the jitted step runs batch k (device_put
+    # blocks its thread on this link but releases the GIL)
+    batch_iter = device_prefetch(_assemble_batches(), size=2, put=_put)
+
     best_er, best_map, best_iteration = 10000.0, 0.0, 0
     rng = jax.random.PRNGKey(1234)
     train_bgn_time = time.time()
@@ -187,28 +224,7 @@ def train(args):
                          time.time() - train_fin_time)
             train_bgn_time = time.time()
 
-        weak_batch = next(weak_iter)
-        strong_batches = [next(it) for it in strong_iters]
-        if mixup:
-            # every process draws the same GLOBAL lambda stream and keeps
-            # its slice, so mixup pairing is consistent across hosts
-            pc, pi = jax.process_count(), jax.process_index()
-
-            def _local_lambda(n_local):
-                lam = mixup_gen.get_lambda(n_local * pc).astype(np.float32)
-                return lam[pi * n_local:(pi + 1) * n_local]
-
-            weak_batch['mixup_lambda'] = _local_lambda(
-                len(weak_batch['waveform']))
-            for b in strong_batches:
-                b['mixup_lambda'] = _local_lambda(len(b['waveform']))
-        for b in (weak_batch, *strong_batches):
-            b.pop('audio_name', None)
-        weak_batch.pop('strong_target', None)
-        if mesh is not None:
-            weak_batch = mesh_lib.shard_batch(weak_batch, mesh)
-            strong_batches = [mesh_lib.shard_batch(b, mesh)
-                              for b in strong_batches]
+        weak_batch, strong_batches = next(batch_iter)
 
         rng, step_rng = jax.random.split(rng)
         state, metrics = step_fn(state, weak_batch, strong_batches,

@@ -15,7 +15,9 @@ zero-padded window.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+import queue
+import threading
+from typing import Iterable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -592,6 +594,151 @@ class SedInferenceEngine:
                         'offset': fin / fps,
                         'event_label': self.labels[c]})
 
+        xmls = [
+            xml_writer.events_to_xml(
+                sorted(evs, key=lambda e: e['onset']), names[i],
+                fallback_span=(0, self.sample_duration))
+            for i, evs in enumerate(per_clip)
+        ]
+        return per_clip, xmls
+
+    def predict_clips_stream(self, chunk_iter: Iterable[np.ndarray],
+                             names: Optional[List[str]] = None
+                             ) -> Tuple[List[List[dict]], List[str]]:
+        """Pipelined ``predict_clips`` over a stream of clip chunks.
+
+        On this serving link ``device_put`` BLOCKS the calling thread
+        until the bytes arrive on device (measured: returned == ready),
+        so the batched path's "async dispatch" hides nothing — uploads,
+        host file decode, result pulls and event decode all serialize.
+        The transfer does release the GIL inside PJRT, so this variant
+        runs a three-stage thread pipeline instead:
+
+          caller's ``chunk_iter`` (file decode)  ->  reader thread
+          upload + forward dispatch              ->  uploader thread
+          track-max pull, gathers, event decode  ->  this thread
+
+        Host-side work of batch k then overlaps the (link-bound) upload
+        of batch k+1.  Results are identical to ``predict_clips`` —
+        equivalence is tested in tests/test_serve.py.
+
+        ``chunk_iter`` yields (n_i, wire_width) arrays, n_i <= batch_size
+        (any wire format ``predict_clips`` accepts); ``names`` spans the
+        concatenated stream.
+        """
+        from sed_tpu.native.vad_native import (native_available,
+                                               decode_packed_tracks)
+        use_native = native_available()
+        p = self.sed_params.per_class(len(self.labels)) \
+            if hasattr(self.sed_params, 'per_class') else self.sed_params
+        high = np.asarray(p['sed_high_threshold'], np.float64)
+        low_arr = np.asarray(p['sed_low_threshold'], np.float64)
+        n_smooth_arr = np.asarray(p['n_smooth'], np.int32)
+        n_salt_arr = np.asarray(p['n_salt'], np.int32)
+        fps = float(self.cfg.frames_per_second)
+        bs = self.batch_size
+        G = self._gather_chunk
+        t_frames = self._out_frames
+        tb = self._track_bytes
+        gather_fn = (self._gather_packed
+                     if self.gather_format == 'packed'
+                     else self._gather_tracks)
+
+        err: List[BaseException] = []
+        q_chunks: "queue.Queue" = queue.Queue(maxsize=2)
+        q_dev: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def _reader():
+            try:
+                for chunk in chunk_iter:
+                    q_chunks.put(chunk)
+            except BaseException as e:          # propagated in main
+                err.append(e)
+            finally:
+                q_chunks.put(None)
+
+        def _uploader():
+            i0 = 0
+            try:
+                while True:
+                    chunk = q_chunks.get()
+                    if chunk is None:
+                        break
+                    valid = chunk.shape[0]
+                    if valid < bs:
+                        chunk = np.concatenate(
+                            [chunk, np.zeros((bs - valid,) + chunk.shape[1:],
+                                             chunk.dtype)], axis=0)
+                    dev = self._forward_scan(self.variables,
+                                             jnp.asarray(chunk))
+                    q_dev.put((i0, valid) + dev)
+                    i0 += valid
+            except BaseException as e:
+                err.append(e)
+            finally:
+                q_dev.put(None)
+
+        threading.Thread(target=_reader, daemon=True).start()
+        threading.Thread(target=_uploader, daemon=True).start()
+
+        per_clip: List[List[dict]] = []
+        while True:
+            item = q_dev.get()
+            if item is None:
+                break
+            i0, valid, framewise_dev, track_max_dev = item
+            per_clip.extend([] for _ in range(valid))
+            track_max = np.asarray(track_max_dev)[:valid]
+            act_n, act_c = np.nonzero(track_max > high[None, :])
+            for j0 in range(0, act_n.size, G):
+                sub_n = act_n[j0:j0 + G]
+                sub_c = act_c[j0:j0 + G]
+                idx_n = np.zeros(G, np.int32)
+                idx_c = np.zeros(G, np.int32)
+                idx_n[:sub_n.size] = sub_n
+                idx_c[:sub_n.size] = sub_c
+                tracks = np.asarray(gather_fn(
+                    framewise_dev, jnp.asarray(idx_n),
+                    jnp.asarray(idx_c)))[:sub_n.size]
+                if self.gather_format == 'packed':
+                    high_packed = np.ascontiguousarray(tracks[:, :tb])
+                    low_packed = np.ascontiguousarray(tracks[:, tb:])
+                else:
+                    high_packed = np.packbits(
+                        tracks > high[sub_c][:, None], axis=1)
+                    low_packed = np.packbits(
+                        tracks >= low_arr[sub_c][:, None], axis=1)
+                if use_native:
+                    all_pairs = decode_packed_tracks(
+                        high_packed, low_packed, t_frames,
+                        n_smooth_arr[sub_c], n_salt_arr[sub_c])
+                else:
+                    high_bits = np.unpackbits(
+                        high_packed, axis=1)[:, :t_frames].astype(bool)
+                    low_bits = np.unpackbits(
+                        low_packed, axis=1)[:, :t_frames].astype(bool)
+                    all_pairs = [
+                        vad.activity_detection_masks(
+                            high_bits[j], low_bits[j],
+                            n_smooth=p['n_smooth'][int(sub_c[j])],
+                            n_salt=p['n_salt'][int(sub_c[j])])
+                        for j in range(sub_n.size)
+                    ]
+                for j, pairs in enumerate(all_pairs):
+                    c = int(sub_c[j])
+                    clip_i = i0 + int(sub_n[j])
+                    name = (names[clip_i] if names is not None
+                            else f'clip{clip_i}.wav')
+                    for bgn, fin in pairs:
+                        per_clip[clip_i].append({
+                            'filename': name,
+                            'onset': bgn / fps,
+                            'offset': fin / fps,
+                            'event_label': self.labels[c]})
+        if err:
+            raise err[0]
+        if names is None:
+            names = [f'clip{i}.wav' for i in range(len(per_clip))]
         xmls = [
             xml_writer.events_to_xml(
                 sorted(evs, key=lambda e: e['onset']), names[i],

@@ -132,6 +132,32 @@ def test_windowed_clips_match_host_merge(engine):
         assert sorted(got[i], key=key) == sorted(want, key=key)
 
 
+def test_stream_matches_bulk(engine):
+    """The thread-pipelined streaming path must produce identical events
+    and XML to predict_clips, including a ragged final chunk."""
+    rng = np.random.RandomState(17)
+    wavs = rng.uniform(-0.3, 0.3,
+                       (21, AUDIO_16K.sample_rate * 5)).astype(np.float32)
+    names = [f'c{i}.wav' for i in range(21)]
+    want_ev, want_xml = engine.predict_clips(wavs, names=names)
+
+    def chunks():
+        for i in range(0, 21, engine.batch_size):
+            yield wavs[i:i + engine.batch_size]
+
+    got_ev, got_xml = engine.predict_clips_stream(chunks(), names=names)
+    assert got_ev == want_ev
+    assert got_xml == want_xml
+
+    # errors raised inside the caller's iterator must propagate
+    def bad():
+        yield wavs[:8]
+        raise RuntimeError('decode failed')
+
+    with pytest.raises(RuntimeError, match='decode failed'):
+        engine.predict_clips_stream(bad(), names=names)
+
+
 def test_bulk_matches_per_file(engine):
     """predict_clips must agree with predict_waveform for 5 s clips."""
     rng = np.random.RandomState(3)

@@ -163,3 +163,26 @@ def test_eval_step_matches_direct_apply():
     np.testing.assert_allclose(np.asarray(out['clipwise_output']),
                                np.asarray(direct['clipwise_output']),
                                rtol=1e-6)
+
+
+def test_device_prefetch_order_and_errors():
+    """device_prefetch must yield items in order (as device arrays) and
+    re-raise producer exceptions at the consuming next()."""
+    from sed_tpu.train.prefetch import device_prefetch
+
+    items = [{'a': np.full((4,), i, np.float32)} for i in range(10)]
+    out = list(device_prefetch(iter(items), size=2))
+    assert len(out) == 10
+    for i, o in enumerate(out):
+        assert isinstance(o['a'], jax.Array)
+        np.testing.assert_array_equal(np.asarray(o['a']), items[i]['a'])
+
+    def bad():
+        yield items[0]
+        raise ValueError('boom')
+
+    it = device_prefetch(bad(), size=2)
+    next(it)
+    with pytest.raises(ValueError, match='boom'):
+        next(it)
+        next(it)
