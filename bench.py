@@ -7,10 +7,13 @@ coverage normalize -> dual-threshold event decode -> XML string) with the
 batched TPU engine.
 
 Configuration (env vars):
-  BENCH_WIRE=mulaw8|int16|q4  wire format (default mulaw8: G.711 mu-law
-                            wav files, dequantized on device; int16 PCM is
-                            the exact-parity path; q4 is the 4-bit
-                            block-scaled .q4 container, ~41 KB/clip)
+  BENCH_WIRE=q6|q5|q4|mulaw8|int16  wire format (default q6: 6-bit
+                            block-scaled .q6 container, ~61 KB/clip,
+                            measured event/ER-equivalent to mu-law on
+                            this distribution — BENCHMARKS.md; mulaw8 is
+                            the 8-bit G.711 wav wire; int16 PCM is the
+                            exact-parity path; q5/q4 are narrower and
+                            lossier)
   BENCH_BF16=1|0            bfloat16 conv stack (default 1)
   BENCH_CLIPS / BENCH_BATCH / BENCH_REPEATS
 The model is the trained synthetic-tone checkpoint
@@ -33,7 +36,7 @@ import numpy as np
 N_CLIPS = int(os.environ.get('BENCH_CLIPS', '2048'))
 BATCH = int(os.environ.get('BENCH_BATCH', '256'))
 REPEATS = int(os.environ.get('BENCH_REPEATS', '4'))
-WIRE = os.environ.get('BENCH_WIRE', 'mulaw8')
+WIRE = os.environ.get('BENCH_WIRE', 'q6')
 BF16 = os.environ.get('BENCH_BF16', '1') == '1'
 # fallback head-bias calibration for random init (no checkpoint): restores
 # production-like event density for the host-decode stage
@@ -103,23 +106,24 @@ def main():
     clips = make_test_clips(N_CLIPS, sr)
     tmpdir = tempfile.mkdtemp(prefix='sed_bench_')
     paths = []
-    ext = 'q4' if WIRE == 'q4' else 'wav'
+    qbits = int(WIRE[1]) if WIRE.startswith('q') else None
+    ext = WIRE if qbits else 'wav'
     for i in range(N_CLIPS):
         p = os.path.join(tmpdir, f'clip{i:05d}.{ext}')
-        if WIRE == 'q4':
-            audio_io.save_q4(p, clips[i], sr)
+        if qbits:
+            audio_io.save_qn(p, clips[i], sr, qbits)
         elif WIRE == 'mulaw8':
             audio_io.save_wav_mulaw(p, clips[i], sr)
         else:
             audio_io.save_wav(p, clips[i], sr)
         paths.append(p)
-    read = {'q4': audio_io.read_q4,
-            'mulaw8': audio_io.fast_read_wav_mulaw,
-            'int16': audio_io.fast_read_wav_int16}[WIRE]
+    read = (audio_io.read_qn if qbits else
+            {'mulaw8': audio_io.fast_read_wav_mulaw,
+             'int16': audio_io.fast_read_wav_int16}[WIRE])
 
     # Warm up compile + caches (same dtype as the timed path).
-    if WIRE == 'q4':
-        warm = audio_io.q4_encode(clips[:BATCH])
+    if qbits:
+        warm = audio_io.qn_encode(clips[:BATCH], qbits)
     elif WIRE == 'mulaw8':
         warm = audio_io.mulaw_encode(clips[:BATCH])
     else:

@@ -232,80 +232,117 @@ def fast_read_wav_mulaw(path: str) -> Tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
-# q4 wire format: 4-bit block-scaled quantization (~4.1 bits/sample)
+# qN wire formats: N-bit block-scaled quantization (N in {4, 5, 6})
 #
-# The most bandwidth-lean serving wire: 128-sample blocks, int4 mantissas
-# against a per-block float16 scale, scales appended to the same uint8
-# buffer (one array per clip, so the engine's batch plumbing is format
-# agnostic).  ~41 KB per 5 s clip vs 80 KB mu-law / 160 KB int16.
-# Lossy (~24 dB SNR within a block); validated against the f32 path in
-# tests.  Device decode: nibble unpack + bitcast + one multiply.
+# Bandwidth-lean serving wires: 128-sample blocks, signed N-bit mantissas
+# packed big-endian against a per-block float16 scale, scales appended to
+# the same uint8 buffer (one array per clip, so the engine's batch
+# plumbing is format agnostic).  Per 5 s clip: q4 ~41 KB, q5 ~51 KB,
+# q6 ~61 KB vs 80 KB mu-law / 160 KB int16.  Measured on the bench
+# distribution (BENCHMARKS.md): q6 is event/ER-equivalent to mu-law, q5
+# keeps the segment-ER but flutters event boundaries, q4 costs ER.
+# Device decode: two byte-gathers + shift/mask + one multiply.
 # ---------------------------------------------------------------------------
 
 Q4_BLOCK = 128
+QN_BITS = (4, 5, 6)
 
 
-def q4_bytes(samples: int) -> int:
-    """Wire bytes for ``samples`` samples (must divide by Q4_BLOCK)."""
-    assert samples % Q4_BLOCK == 0
-    return samples // 2 + (samples // Q4_BLOCK) * 2
+def qn_bytes(samples: int, bits: int) -> int:
+    """Wire bytes for ``samples`` N-bit samples (+f16 block scales)."""
+    assert samples % Q4_BLOCK == 0 and (samples * bits) % 8 == 0
+    return samples * bits // 8 + (samples // Q4_BLOCK) * 2
 
 
-def q4_encode(x: np.ndarray) -> np.ndarray:
-    """float [-1,1] or int16 (B, S) -> (B, q4_bytes(S)) uint8."""
+def qn_encode(x: np.ndarray, bits: int) -> np.ndarray:
+    """float [-1,1] or int16 (B, S) -> (B, qn_bytes(S, bits)) uint8."""
+    assert bits in QN_BITS, bits
     if x.dtype == np.int16:
         x = x.astype(np.float32) / 32767.0
     x = np.asarray(x, np.float32)
     b, s = x.shape
+    top = (1 << (bits - 1)) - 1
     blocks = x.reshape(b, s // Q4_BLOCK, Q4_BLOCK)
-    scale = np.abs(blocks).max(axis=2) / 7.0
+    scale = np.abs(blocks).max(axis=2) / top
     # floor must survive the float16 cast (1e-6 is a representable f16
     # subnormal; anything below ~6e-8 flushes to zero and poisons the
     # divide)
     scale = np.maximum(scale, 1e-6).astype(np.float16)
     q = np.clip(np.round(blocks / scale.astype(np.float32)[:, :, None]),
-                -8, 7).astype(np.int32) + 8
+                -top - 1, top).astype(np.int32) + top + 1
     q = q.reshape(b, s)
-    codes = ((q[:, 0::2] << 4) | q[:, 1::2]).astype(np.uint8)
+    # big-endian bitstream: sample i occupies bits [i*bits, (i+1)*bits)
+    shifts = np.arange(bits - 1, -1, -1)
+    bit_mat = ((q[:, :, None] >> shifts[None, None, :]) & 1).astype(
+        np.uint8).reshape(b, s * bits)
+    codes = np.packbits(bit_mat, axis=1)
     return np.concatenate([codes, scale.view(np.uint8).reshape(b, -1)],
                           axis=1)
 
 
-def q4_decode_np(buf: np.ndarray, samples: int) -> np.ndarray:
+def qn_decode_np(buf: np.ndarray, samples: int, bits: int) -> np.ndarray:
     """Host-side reference decode (the engine decodes on device)."""
+    assert bits in QN_BITS, bits
     b = buf.shape[0]
-    nc = samples // 2
-    codes = buf[:, :nc].astype(np.int32)
-    scale = buf[:, nc:].view(np.float16).astype(np.float32)
-    q = np.empty((b, samples), np.int32)
-    q[:, 0::2] = (codes >> 4)
-    q[:, 1::2] = (codes & 0xF)
-    x = (q - 8).astype(np.float32).reshape(b, samples // Q4_BLOCK, Q4_BLOCK)
+    nb = samples * bits // 8
+    top = (1 << (bits - 1)) - 1
+    codes = buf[:, :nb].astype(np.int32)
+    scale = buf[:, nb:].view(np.float16).astype(np.float32)
+    bitpos = np.arange(samples) * bits
+    j = bitpos >> 3
+    sh = 16 - bits - (bitpos & 7)
+    lo = codes[:, np.minimum(j + 1, nb - 1)]
+    q = (((codes[:, j] << 8) | lo) >> sh) & ((1 << bits) - 1)
+    x = (q - top - 1).astype(np.float32).reshape(b, samples // Q4_BLOCK,
+                                                 Q4_BLOCK)
     return (x * scale[:, :, None]).reshape(b, samples)
 
 
-def save_q4(path: str, x: np.ndarray, sr: int) -> None:
-    """Write one clip as a .q4 container (sed_tpu's packed serving
-    format: 13-byte header + q4 wire bytes)."""
+def q4_bytes(samples: int) -> int:
+    return qn_bytes(samples, 4)
+
+
+def q4_encode(x: np.ndarray) -> np.ndarray:
+    return qn_encode(x, 4)
+
+
+def q4_decode_np(buf: np.ndarray, samples: int) -> np.ndarray:
+    return qn_decode_np(buf, samples, 4)
+
+
+def save_qn(path: str, x: np.ndarray, sr: int, bits: int) -> None:
+    """Write one clip as a .qN container (sed_tpu's packed serving
+    format: 13-byte header + qN wire bytes).  Header version byte 1 is
+    the legacy 4-bit container; otherwise it names the bit width."""
     x = np.asarray(x)
-    buf = q4_encode(x[None])[0]
+    buf = qn_encode(x[None], bits)[0]
     with open(path, 'wb') as f:
-        f.write(b'SEDQ' + bytes([1]))
+        f.write(b'SEDQ' + bytes([1 if bits == 4 else bits]))
         f.write(int(sr).to_bytes(4, 'little'))
         f.write(int(x.shape[-1]).to_bytes(4, 'little'))
         f.write(buf.tobytes())
 
 
-def read_q4(path: str) -> Tuple[np.ndarray, int, int]:
-    """Read a .q4 container -> (wire uint8 codes, sample_rate, samples).
+def read_qn(path: str) -> Tuple[np.ndarray, int, int]:
+    """Read a .qN container -> (wire uint8 codes, sample_rate, samples).
     The codes feed the engine directly (device-side decode)."""
     with open(path, 'rb') as f:
         head = f.read(13)
-        assert head[:5] == b'SEDQ\x01', f'not a q4 file: {path}'
+        assert head[:4] == b'SEDQ', f'not a qN file: {path}'
+        bits = 4 if head[4] == 1 else head[4]
+        assert bits in QN_BITS, f'unknown qN bit width {bits}: {path}'
         sr = int.from_bytes(head[5:9], 'little')
         samples = int.from_bytes(head[9:13], 'little')
-        return (np.frombuffer(f.read(q4_bytes(samples)), np.uint8),
+        return (np.frombuffer(f.read(qn_bytes(samples, bits)), np.uint8),
                 sr, samples)
+
+
+def save_q4(path: str, x: np.ndarray, sr: int) -> None:
+    save_qn(path, x, sr, 4)
+
+
+def read_q4(path: str) -> Tuple[np.ndarray, int, int]:
+    return read_qn(path)
 
 
 def get_duration(path: str) -> float:

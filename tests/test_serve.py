@@ -272,6 +272,74 @@ def test_q4_codec_properties():
                   + 1e-4)
 
 
+def test_qn_codec_properties():
+    """Generalized N-bit block-scaled codec: roundtrip error bound per
+    bit width, monotone quality, legacy q4 nibble layout preserved, and
+    .qN container roundtrip."""
+    rng = np.random.RandomState(7)
+    x = rng.uniform(-0.8, 0.8, (2, 2048)).astype(np.float32)
+    prev_err = np.inf
+    for bits in audio_io.QN_BITS:
+        buf = audio_io.qn_encode(x, bits)
+        assert buf.shape == (2, audio_io.qn_bytes(2048, bits))
+        rec = audio_io.qn_decode_np(buf, 2048, bits)
+        nb = 2048 * bits // 8
+        step = buf[:, nb:].view(np.float16).astype(np.float32)
+        blocks = x.reshape(2, -1, audio_io.Q4_BLOCK)
+        err = np.abs(rec.reshape(blocks.shape) - blocks)
+        assert np.all(err <= step[:, :, None] * 0.505 + 1e-6), bits
+        # each extra bit halves the step -> error strictly improves
+        assert err.max() < prev_err
+        prev_err = err.max()
+    # legacy q4 wire layout: high nibble first
+    buf4 = audio_io.qn_encode(x, 4)
+    top = 7
+    scale = np.maximum(np.abs(blocks).max(axis=2) / top,
+                       1e-6).astype(np.float16).astype(np.float32)
+    q = np.clip(np.round(blocks / scale[:, :, None]), -8, 7) + 8
+    q = q.astype(np.int64).reshape(2, 2048)
+    want = ((q[:, 0::2] << 4) | q[:, 1::2]).astype(np.uint8)
+    np.testing.assert_array_equal(buf4[:, :1024], want)
+
+    import tempfile, os as _os
+    with tempfile.TemporaryDirectory() as d:
+        for bits in audio_io.QN_BITS:
+            p = _os.path.join(d, f'a.q{bits}')
+            audio_io.save_qn(p, x[0], 16000, bits)
+            codes, sr, samples = audio_io.read_qn(p)
+            assert (sr, samples) == (16000, 2048)
+            np.testing.assert_array_equal(
+                codes, audio_io.qn_encode(x[:1], bits)[0])
+
+
+def test_qn_device_decode_matches_host(engine):
+    """On-device q5/q6 decode equals the numpy reference; q6 framewise
+    outputs track int16 at least as closely as mu-law does (q6 is the
+    default bench wire on that basis — BENCHMARKS.md)."""
+    import jax.numpy as jnp
+    s = engine.window_samples
+    rng = np.random.RandomState(23)
+    x = rng.uniform(-0.6, 0.6, (2, s)).astype(np.float32)
+    for bits in (5, 6):
+        buf = audio_io.qn_encode(x, bits)
+        dec = np.asarray(engine._prep(jnp.asarray(buf)))
+        np.testing.assert_allclose(dec, audio_io.qn_decode_np(buf, s, bits),
+                                   rtol=1e-6, atol=1e-7)
+
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    from bench import make_test_clips
+    clips = make_test_clips(6, AUDIO_16K.sample_rate, seconds=5, seed=9)
+    pcm = (np.clip(clips, -1, 1) * 32767).astype(np.int16)
+    f16, _ = engine.infer_framewise(pcm)
+    fq6, _ = engine.infer_framewise(audio_io.qn_encode(clips, 6))
+    fmu, _ = engine.infer_framewise(audio_io.mulaw_encode(clips))
+    dq6 = np.abs(f16 - fq6).max()
+    dmu = np.abs(f16 - fmu).max()
+    assert dq6 < max(2 * dmu, 0.02), (dq6, dmu)
+
+
 def test_q4_device_decode_matches_host(engine):
     """The engine's on-device q4 decode equals the numpy reference and
     the framewise outputs track the f32 path."""
