@@ -14,7 +14,10 @@ Configuration (env vars):
                             the 8-bit G.711 wav wire; int16 PCM is the
                             exact-parity path; q5/q4 are narrower and
                             lossier)
-  BENCH_BF16=1|0            bfloat16 conv stack (default 1)
+  BENCH_BF16=1|0            bfloat16 conv stack (default 0: measured
+                            device-equal to f32 on this chip — 0.23 vs
+                            0.25 ms per 256-clip forward, BENCHMARKS.md —
+                            so the exact-numerics path is the default)
   BENCH_CLIPS / BENCH_BATCH / BENCH_REPEATS
 The model is the trained synthetic-tone checkpoint
 (tools/bench_checkpoint.npz, see tools/make_bench_checkpoint.py) so event
@@ -37,7 +40,7 @@ N_CLIPS = int(os.environ.get('BENCH_CLIPS', '2048'))
 BATCH = int(os.environ.get('BENCH_BATCH', '256'))
 REPEATS = int(os.environ.get('BENCH_REPEATS', '4'))
 WIRE = os.environ.get('BENCH_WIRE', 'q6')
-BF16 = os.environ.get('BENCH_BF16', '1') == '1'
+BF16 = os.environ.get('BENCH_BF16', '0') == '1'
 # fallback head-bias calibration for random init (no checkpoint): restores
 # production-like event density for the host-decode stage
 HEAD_BIAS = float(os.environ.get('BENCH_HEAD_BIAS', '-0.3'))

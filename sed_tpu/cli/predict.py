@@ -29,6 +29,51 @@ def _build_engine(args, cfg, ws):
         sed_params=sed_params, batch_size=args.batch_size)
 
 
+def _write_xml_for(out_dir, name, events, engine, duration):
+    """XML with the reference's fallback-"Others" span for one file
+    (same math as ``SedInferenceEngine.predict_file``)."""
+    from sed_tpu.post.xml_writer import events_to_xml
+    from sed_tpu.serve.engine import window_starts
+    starts = window_starts(duration, engine.sample_duration, engine.overlap)
+    last_start = starts[-1] + (1 if engine.overlap
+                               else engine.sample_duration)
+    end = min(duration, last_start + engine.sample_duration)
+    xml = events_to_xml(sorted(events, key=lambda e: e['onset']), name,
+                        fallback_span=(last_start, end))
+    stem = name[:-len('.wav')] if name.endswith('.wav') else \
+        os.path.splitext(name)[0]
+    with open(os.path.join(out_dir, stem + '.xml'), 'w') as f:
+        f.write(xml)
+
+
+def _predict_bulk(args, engine, out_dir, audio_files):
+    """Batch the windows of ``--bulk`` files into shared fixed-shape
+    forwards (engine.predict_waveforms) instead of one forward per file
+    — same events/XML, far fewer device round trips."""
+    from sed_tpu.data import audio_io
+    group = max(1, args.bulk)
+    for g0 in range(0, len(audio_files), group):
+        chunk = audio_files[g0:g0 + group]
+        t0 = time.time()
+        waves, names, durations = [], [], {}
+        for path in chunk:
+            audio, _ = audio_io.load_audio(path, sr=engine.cfg.sample_rate)
+            name = os.path.basename(path)
+            waves.append(audio)
+            names.append(name)
+            durations[name] = len(audio) / float(engine.cfg.sample_rate)
+        events = engine.predict_waveforms(waves, names)
+        per_file = {n: [] for n in names}
+        for e in events:
+            per_file[e['filename']].append(e)
+        for name in names:
+            _write_xml_for(out_dir, name, per_file[name], engine,
+                           durations[name])
+        print('Processed {} files in {:.2f} s'.format(
+            len(chunk), time.time() - t0))
+    return audio_files
+
+
 def predict(args):
     cfg, ws = common.resolve(args)
     engine = _build_engine(args, cfg, ws)
@@ -38,6 +83,8 @@ def predict(args):
         os.path.join(args.input_dir, f)
         for f in os.listdir(args.input_dir)
         if not f.startswith('.'))
+    if getattr(args, 'bulk', 0):
+        return _predict_bulk(args, engine, out_dir, audio_files)
     for path in audio_files:
         print('Predicting on {}'.format(path))
         t0 = time.time()
@@ -120,6 +167,11 @@ def get_parser():
         sub.add_argument('--checkpoint', type=str, default=None,
                          help='Orbax dir or reference .pth; defaults to '
                               'the workspace convention path.')
+        if mode == 'predict':
+            sub.add_argument('--bulk', type=int, default=0,
+                             help='batch the windows of this many files '
+                                  'into shared device forwards (0 = the '
+                                  'reference\'s one-file-at-a-time loop)')
         if mode == 'predict_asr':
             sub.add_argument('--asr_language', type=str, default='en-SG')
     return parser

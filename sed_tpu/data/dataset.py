@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import threading
 import queue as queue_mod
+import weakref
 from typing import Dict, Iterator, List, Optional
 
 import h5py
@@ -34,17 +35,25 @@ class AudiosetDataset:
     """
 
     def __init__(self, dequantize: bool = True):
-        self._handles: Dict[tuple, h5py.File] = {}
+        # thread-local caches: a dead thread's handles lose their last
+        # strong reference and close via GC (h5py closes on __del__), so
+        # re-iterated loaders don't accumulate open descriptors
+        self._tls = threading.local()
+        self._all: List[weakref.ref] = []   # for close() across threads
         self._lock = threading.Lock()
         self.dequantize = dequantize
 
     def _file(self, path: str) -> h5py.File:
-        key = (threading.get_ident(), path)
-        with self._lock:
-            hf = self._handles.get(key)
-            if hf is None:
-                hf = self._handles[key] = h5py.File(path, 'r')
-            return hf
+        cache = getattr(self._tls, 'handles', None)
+        if cache is None:
+            cache = self._tls.handles = {}
+        hf = cache.get(path)
+        if hf is None or not hf.id:
+            hf = cache[path] = h5py.File(path, 'r')
+            with self._lock:
+                self._all = [r for r in self._all if r() is not None]
+                self._all.append(weakref.ref(hf))
+        return hf
 
     def __getitem__(self, meta: dict) -> dict:
         hf = self._file(meta['hdf5_path'])
@@ -61,9 +70,15 @@ class AudiosetDataset:
 
     def close(self):
         with self._lock:
-            for f in self._handles.values():
-                f.close()
-            self._handles.clear()
+            for r in self._all:
+                f = r()
+                if f is not None:
+                    try:
+                        f.close()
+                    except Exception:
+                        pass
+            self._all.clear()
+        self._tls = threading.local()
 
 
 class TrainSampler:
@@ -159,13 +174,19 @@ class DataLoader:
     # -- multi-worker path (ordered reassembly) ------------------------------
 
     def _feed(self, meta_q: queue_mod.Queue, budget: threading.Semaphore,
-              stop: threading.Event):
+              stop: threading.Event, out: dict, cond: threading.Condition):
+        next_seq = 0
         try:
-            for seq, batch_meta in enumerate(self.batch_sampler):
+            for batch_meta in self.batch_sampler:
                 budget.acquire()
                 if stop.is_set():
                     return
-                meta_q.put((seq, batch_meta))
+                meta_q.put((next_seq, batch_meta))
+                next_seq += 1
+        except Exception as exc:    # surfaced at the consumer, in order
+            with cond:
+                out[next_seq] = exc
+                cond.notify_all()
         finally:
             for _ in range(self.num_workers):
                 meta_q.put(None)
@@ -196,7 +217,7 @@ class DataLoader:
         cond = threading.Condition()
         stop = threading.Event()
         threads = [threading.Thread(target=self._feed,
-                                    args=(meta_q, budget, stop),
+                                    args=(meta_q, budget, stop, out, cond),
                                     daemon=True)]
         threads += [threading.Thread(target=self._work,
                                      args=(meta_q, out, cond, stop),

@@ -39,18 +39,29 @@ def maybe_initialize() -> bool:
              or os.environ.get('JAX_PROCESS_COUNT'))
     pid = (os.environ.get('JAX_PROCESS_ID')
            or os.environ.get('JAX_PROCESS_INDEX'))
+    if os.environ.get('SED_TPU_MULTIHOST') == '1':
+        jax.distributed.initialize()     # TPU-pod auto detection
+        logging.info('jax.distributed initialized from TPU environment: '
+                     'process %d of %d', jax.process_index(),
+                     jax.process_count())
+        return True
+    have = {'JAX_COORDINATOR_ADDRESS': coord, 'JAX_NUM_PROCESSES': nproc,
+            'JAX_PROCESS_ID': pid}
+    missing = [k for k, v in have.items() if v is None or v == '']
+    if missing and len(missing) < len(have):
+        # a partially-wired launch must not silently run every host as an
+        # independent single-process copy of the training job
+        raise RuntimeError(
+            'multi-host launch is partially configured: '
+            f'{[k for k in have if k not in missing]} set but {missing} '
+            'missing — set all three (or use SED_TPU_MULTIHOST=1 on TPU '
+            'pods)')
     if coord and nproc is not None and pid is not None:
         jax.distributed.initialize(coordinator_address=coord,
                                    num_processes=int(nproc),
                                    process_id=int(pid))
         logging.info('jax.distributed initialized: process %s of %s '
                      '(coordinator %s)', pid, nproc, coord)
-        return True
-    if os.environ.get('SED_TPU_MULTIHOST') == '1':
-        jax.distributed.initialize()     # TPU-pod auto detection
-        logging.info('jax.distributed initialized from TPU environment: '
-                     'process %d of %d', jax.process_index(),
-                     jax.process_count())
         return True
     return False
 

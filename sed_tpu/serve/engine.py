@@ -495,6 +495,62 @@ class SedInferenceEngine:
         device->host transfer shape, no matter the event density."""
         return max(64, self.batch_size)
 
+    def _decode_tracks_into(self, per_clip: List[List[dict]],
+                            names: Optional[List[str]], p: dict,
+                            tracks: np.ndarray, act_n: np.ndarray,
+                            act_c: np.ndarray, i0: int) -> None:
+        """Decode gathered probability tracks into per-clip event dicts.
+
+        Shared by ``predict_clips`` and ``predict_clips_stream``:
+        ``tracks`` holds one row per active (clip, class) pair — packed
+        threshold-crossing bitmasks when ``gather_format='packed'``,
+        float probabilities otherwise; ``act_n``/``act_c`` index the pair
+        within the batch starting at global clip ``i0``.
+        """
+        from sed_tpu.native.vad_native import (native_available,
+                                               decode_packed_tracks)
+        t_frames = self._out_frames
+        tb = self._track_bytes
+        fps = float(self.cfg.frames_per_second)
+        if self.gather_format == 'packed':
+            high_packed = np.ascontiguousarray(tracks[:, :tb])
+            low_packed = np.ascontiguousarray(tracks[:, tb:])
+        else:                                              # float tracks
+            high_arr = np.asarray(p['sed_high_threshold'], np.float64)
+            low_arr = np.asarray(p['sed_low_threshold'], np.float64)
+            high_packed = np.packbits(
+                tracks > high_arr[act_c][:, None], axis=1)
+            low_packed = np.packbits(
+                tracks >= low_arr[act_c][:, None], axis=1)
+        if native_available():
+            all_pairs = decode_packed_tracks(
+                high_packed, low_packed, t_frames,
+                np.asarray(p['n_smooth'], np.int32)[act_c],
+                np.asarray(p['n_salt'], np.int32)[act_c])
+        else:
+            high_bits = np.unpackbits(
+                high_packed, axis=1)[:, :t_frames].astype(bool)
+            low_bits = np.unpackbits(
+                low_packed, axis=1)[:, :t_frames].astype(bool)
+            all_pairs = [
+                vad.activity_detection_masks(
+                    high_bits[j], low_bits[j],
+                    n_smooth=p['n_smooth'][int(act_c[j])],
+                    n_salt=p['n_salt'][int(act_c[j])])
+                for j in range(act_n.size)
+            ]
+        for j, pairs in enumerate(all_pairs):
+            c = int(act_c[j])
+            clip_i = i0 + int(act_n[j])
+            name = (names[clip_i] if names is not None
+                    else f'clip{clip_i}.wav')
+            for bgn, fin in pairs:
+                per_clip[clip_i].append({
+                    'filename': name,
+                    'onset': bgn / fps,
+                    'offset': fin / fps,
+                    'event_label': self.labels[c]})
+
     def predict_clips(self, wavs: np.ndarray,
                       names: Optional[List[str]] = None
                       ) -> Tuple[List[List[dict]], List[str]]:
@@ -572,50 +628,9 @@ class SedInferenceEngine:
 
         # Phase C — pull gathered float tracks, compute the two crossing
         # masks on host, decode (native batch decoder when g++ built it).
-        from sed_tpu.native.vad_native import (native_available,
-                                               decode_packed_tracks)
-        use_native = native_available()
-        t_frames = self._out_frames
-        tb = self._track_bytes
-        high_arr = np.asarray(p['sed_high_threshold'], np.float64)
-        low_arr = np.asarray(p['sed_low_threshold'], np.float64)
-        n_smooth_arr = np.asarray(p['n_smooth'], np.int32)
-        n_salt_arr = np.asarray(p['n_salt'], np.int32)
         for i0, act_n, act_c, tracks in gathers:
-            tracks = tracks[:act_n.size]
-            if self.gather_format == 'packed':
-                high_packed = np.ascontiguousarray(tracks[:, :tb])
-                low_packed = np.ascontiguousarray(tracks[:, tb:])
-            else:                                          # float tracks
-                high_packed = np.packbits(
-                    tracks > high_arr[act_c][:, None], axis=1)
-                low_packed = np.packbits(
-                    tracks >= low_arr[act_c][:, None], axis=1)
-            if use_native:
-                all_pairs = decode_packed_tracks(
-                    high_packed, low_packed, t_frames,
-                    n_smooth_arr[act_c], n_salt_arr[act_c])
-            else:
-                high_bits = np.unpackbits(
-                    high_packed, axis=1)[:, :t_frames].astype(bool)
-                low_bits = np.unpackbits(
-                    low_packed, axis=1)[:, :t_frames].astype(bool)
-                all_pairs = [
-                    vad.activity_detection_masks(
-                        high_bits[j], low_bits[j],
-                        n_smooth=p['n_smooth'][int(act_c[j])],
-                        n_salt=p['n_salt'][int(act_c[j])])
-                    for j in range(act_n.size)
-                ]
-            for j, pairs in enumerate(all_pairs):
-                c = int(act_c[j])
-                clip_i = i0 + int(act_n[j])
-                for bgn, fin in pairs:
-                    per_clip[clip_i].append({
-                        'filename': names[clip_i],
-                        'onset': bgn / fps,
-                        'offset': fin / fps,
-                        'event_label': self.labels[c]})
+            self._decode_tracks_into(per_clip, names, p,
+                                     tracks[:act_n.size], act_n, act_c, i0)
 
         xmls = [
             xml_writer.events_to_xml(
@@ -649,42 +664,49 @@ class SedInferenceEngine:
         (any wire format ``predict_clips`` accepts); ``names`` spans the
         concatenated stream.
         """
-        from sed_tpu.native.vad_native import (native_available,
-                                               decode_packed_tracks)
-        use_native = native_available()
         p = self.sed_params.per_class(len(self.labels)) \
             if hasattr(self.sed_params, 'per_class') else self.sed_params
         high = np.asarray(p['sed_high_threshold'], np.float64)
-        low_arr = np.asarray(p['sed_low_threshold'], np.float64)
-        n_smooth_arr = np.asarray(p['n_smooth'], np.int32)
-        n_salt_arr = np.asarray(p['n_salt'], np.int32)
-        fps = float(self.cfg.frames_per_second)
         bs = self.batch_size
         G = self._gather_chunk
-        t_frames = self._out_frames
-        tb = self._track_bytes
         gather_fn = (self._gather_packed
                      if self.gather_format == 'packed'
                      else self._gather_tracks)
 
         err: List[BaseException] = []
+        stop = threading.Event()
         q_chunks: "queue.Queue" = queue.Queue(maxsize=2)
         q_dev: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def _put(q: "queue.Queue", item) -> bool:
+            # bounded put that notices a dead consumer instead of
+            # blocking forever (pinning device buffers in q_dev)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def _reader():
             try:
                 for chunk in chunk_iter:
-                    q_chunks.put(chunk)
+                    if stop.is_set() or not _put(q_chunks, chunk):
+                        return
             except BaseException as e:          # propagated in main
                 err.append(e)
             finally:
-                q_chunks.put(None)
+                _put(q_chunks, None)
 
         def _uploader():
             i0 = 0
             try:
-                while True:
-                    chunk = q_chunks.get()
+                while not stop.is_set():
+                    try:
+                        chunk = q_chunks.get(timeout=0.2)
+                    except queue.Empty:
+                        continue
                     if chunk is None:
                         break
                     valid = chunk.shape[0]
@@ -694,70 +716,53 @@ class SedInferenceEngine:
                                              chunk.dtype)], axis=0)
                     dev = self._forward_scan(self.variables,
                                              jnp.asarray(chunk))
-                    q_dev.put((i0, valid) + dev)
+                    if not _put(q_dev, (i0, valid) + dev):
+                        return
                     i0 += valid
             except BaseException as e:
                 err.append(e)
             finally:
-                q_dev.put(None)
+                _put(q_dev, None)
 
-        threading.Thread(target=_reader, daemon=True).start()
-        threading.Thread(target=_uploader, daemon=True).start()
+        threads = [threading.Thread(target=_reader, daemon=True),
+                   threading.Thread(target=_uploader, daemon=True)]
+        for t in threads:
+            t.start()
 
         per_clip: List[List[dict]] = []
-        while True:
-            item = q_dev.get()
-            if item is None:
-                break
-            i0, valid, framewise_dev, track_max_dev = item
-            per_clip.extend([] for _ in range(valid))
-            track_max = np.asarray(track_max_dev)[:valid]
-            act_n, act_c = np.nonzero(track_max > high[None, :])
-            for j0 in range(0, act_n.size, G):
-                sub_n = act_n[j0:j0 + G]
-                sub_c = act_c[j0:j0 + G]
-                idx_n = np.zeros(G, np.int32)
-                idx_c = np.zeros(G, np.int32)
-                idx_n[:sub_n.size] = sub_n
-                idx_c[:sub_n.size] = sub_c
-                tracks = np.asarray(gather_fn(
-                    framewise_dev, jnp.asarray(idx_n),
-                    jnp.asarray(idx_c)))[:sub_n.size]
-                if self.gather_format == 'packed':
-                    high_packed = np.ascontiguousarray(tracks[:, :tb])
-                    low_packed = np.ascontiguousarray(tracks[:, tb:])
-                else:
-                    high_packed = np.packbits(
-                        tracks > high[sub_c][:, None], axis=1)
-                    low_packed = np.packbits(
-                        tracks >= low_arr[sub_c][:, None], axis=1)
-                if use_native:
-                    all_pairs = decode_packed_tracks(
-                        high_packed, low_packed, t_frames,
-                        n_smooth_arr[sub_c], n_salt_arr[sub_c])
-                else:
-                    high_bits = np.unpackbits(
-                        high_packed, axis=1)[:, :t_frames].astype(bool)
-                    low_bits = np.unpackbits(
-                        low_packed, axis=1)[:, :t_frames].astype(bool)
-                    all_pairs = [
-                        vad.activity_detection_masks(
-                            high_bits[j], low_bits[j],
-                            n_smooth=p['n_smooth'][int(sub_c[j])],
-                            n_salt=p['n_salt'][int(sub_c[j])])
-                        for j in range(sub_n.size)
-                    ]
-                for j, pairs in enumerate(all_pairs):
-                    c = int(sub_c[j])
-                    clip_i = i0 + int(sub_n[j])
-                    name = (names[clip_i] if names is not None
-                            else f'clip{clip_i}.wav')
-                    for bgn, fin in pairs:
-                        per_clip[clip_i].append({
-                            'filename': name,
-                            'onset': bgn / fps,
-                            'offset': fin / fps,
-                            'event_label': self.labels[c]})
+        try:
+            while True:
+                item = q_dev.get()
+                if item is None:
+                    break
+                i0, valid, framewise_dev, track_max_dev = item
+                per_clip.extend([] for _ in range(valid))
+                track_max = np.asarray(track_max_dev)[:valid]
+                act_n, act_c = np.nonzero(track_max > high[None, :])
+                for j0 in range(0, act_n.size, G):
+                    sub_n = act_n[j0:j0 + G]
+                    sub_c = act_c[j0:j0 + G]
+                    idx_n = np.zeros(G, np.int32)
+                    idx_c = np.zeros(G, np.int32)
+                    idx_n[:sub_n.size] = sub_n
+                    idx_c[:sub_n.size] = sub_c
+                    tracks = np.asarray(gather_fn(
+                        framewise_dev, jnp.asarray(idx_n),
+                        jnp.asarray(idx_c)))[:sub_n.size]
+                    self._decode_tracks_into(per_clip, names, p, tracks,
+                                             sub_n, sub_c, i0)
+        finally:
+            # unwind the pipeline on any exit: wake producers parked on
+            # full queues and drop their queued device buffers
+            stop.set()
+            for q in (q_chunks, q_dev):
+                while True:
+                    try:
+                        q.get_nowait()
+                    except queue.Empty:
+                        break
+            for t in threads:
+                t.join(timeout=2.0)
         if err:
             raise err[0]
         if names is None:

@@ -77,6 +77,11 @@ def resume_checkpoint_path(ckpt_dir: str, iteration: int) -> str:
     have = sorted(int(d[len('iter_'):]) for d in
                   (os.listdir(ckpt_dir) if os.path.isdir(ckpt_dir) else [])
                   if d.startswith('iter_') and d[len('iter_'):].isdigit())
+    if not have and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+        # old-style flat Orbax dir (pre step-tagged lineage): the single
+        # saved state is the only resume candidate, like the reference's
+        # single best_*.pth
+        return os.path.abspath(ckpt_dir)
     raise FileNotFoundError(
         f'no checkpoint at iteration {iteration} in {ckpt_dir}; '
         f'saved iterations: {have}')

@@ -27,30 +27,49 @@ def device_prefetch(it: Iterator, size: int = 2,
 
     ``size`` bounds how many uploaded batches wait on device (HBM use =
     size x batch bytes).
+
+    Abandoning the returned generator (train loop hits stop_iteration,
+    or an exception unwinds it) stops the producer thread: it releases
+    its queued device batches and stops drawing from ``it`` instead of
+    running the upstream data pipeline for the rest of the process.
     """
     if put is None:
         put = jax.device_put
     q: "queue.Queue" = queue.Queue(maxsize=max(1, size))
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _produce():
         try:
             for item in it:
-                q.put(put(item))
+                if stop.is_set() or not _put(put(item)):
+                    return
         except BaseException as e:      # re-raised by the consumer
-            q.put(_END)
-            q.put(e)
+            _put(_END)
+            _put(e)
             return
-        q.put(_END)
-        q.put(None)
+        _put(_END)
+        _put(None)
 
     threading.Thread(target=_produce, daemon=True).start()
 
-    while True:
-        item = q.get()
-        if item is _END:
-            err = q.get()
-            if err is not None:
-                raise err
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                err = q.get()
+                if err is not None:
+                    raise err
+                return
+            yield item
+    finally:
+        stop.set()

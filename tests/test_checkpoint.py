@@ -71,7 +71,14 @@ def test_step_tagged_lineage_and_resume_at_iteration(tmp_path):
     # a never-saved iteration raises, listing what exists
     with pytest.raises(FileNotFoundError, match=r'\[1, 3\]'):
         resume_checkpoint_path(ckpt_dir, 2)
-    # old-style flat checkpoint dirs still resolve (backward compat)
+    # old-style flat checkpoint dirs still resolve (backward compat) —
+    # for serving AND for --resume_iteration
     flat = str(tmp_path / 'flat')
     save_checkpoint(flat, state)
     assert best_checkpoint_path(flat) == flat
+    assert resume_checkpoint_path(flat, 3) == flat
+    restored_flat = restore_checkpoint(resume_checkpoint_path(flat, 3),
+                                       create_train_state(
+                                           model, jax.random.PRNGKey(2),
+                                           wav))
+    assert int(restored_flat.step) == 3

@@ -170,6 +170,25 @@ def test_05_predict_cli(dataset_dir, workspace):
         '</AudioDoc>')
 
 
+def test_05b_predict_cli_bulk_matches_per_file(dataset_dir, workspace):
+    """--bulk batches the windows of many files into shared forwards;
+    the emitted XMLs must be byte-identical to the per-file loop's."""
+    import shutil
+    input_dir = os.path.join(dataset_dir, 'testing')
+    out_dir = os.path.join(workspace, 'predict_results')
+    baseline = {f: open(os.path.join(out_dir, f)).read()
+                for f in os.listdir(out_dir) if f.endswith('.xml')}
+    assert baseline                      # test_05 ran the per-file loop
+    shutil.rmtree(out_dir)
+    predict_cli.main(['predict', '--input_dir', input_dir,
+                      '--workspace', workspace, *COMMON,
+                      '--overlap', '--sample_duration', '5',
+                      '--bulk', '3'])
+    bulk = {f: open(os.path.join(out_dir, f)).read()
+            for f in os.listdir(out_dir) if f.endswith('.xml')}
+    assert bulk == baseline
+
+
 def test_06_inference_prob_overlap_single_param(dataset_dir, workspace,
                                                 monkeypatch):
     monkeypatch.setattr(main_strong_cli, 'PARAM_COMBINATIONS', [[1, 5]])

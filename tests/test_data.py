@@ -177,6 +177,43 @@ def test_multiworker_loader_surfaces_errors(packed):
     ds.close()
 
 
+def test_multiworker_loader_surfaces_sampler_errors(packed):
+    """An exception raised by the SAMPLER itself (e.g. a mis-divisible
+    multi-host batch assert) must reach the consumer, in stream order —
+    not silently end the stream."""
+    out, _ = packed
+
+    def sampler():
+        yield [{'hdf5_path': out, 'index_in_hdf5': 0}]
+        yield [{'hdf5_path': out, 'index_in_hdf5': 1}]
+        raise RuntimeError('sampler blew up')
+
+    ds = AudiosetDataset()
+    got = []
+    with pytest.raises(RuntimeError, match='sampler blew up'):
+        for batch in DataLoader(ds, sampler(), num_workers=2):
+            got.append(batch)
+    assert len(got) == 2      # every good batch arrived first
+    ds.close()
+
+
+def test_dataset_handles_do_not_accumulate_across_iterations(packed):
+    """Re-iterating a multi-worker loader spawns fresh threads; dead
+    threads' HDF5 handles must be released (via thread-local GC), not
+    cached forever keyed by thread ident."""
+    import gc
+    out, _ = packed
+    ds = AudiosetDataset()
+    for _ in range(8):
+        list(DataLoader(ds, TestSampler(out, 2), num_workers=2))
+    gc.collect()
+    live = [r for r in ds._all if r() is not None and r().id]
+    # main thread + at most the last iteration's 2 workers
+    assert len(live) <= 3, len(live)
+    ds.close()
+    assert not any(r() is not None and r().id for r in ds._all)
+
+
 def test_train_step_accepts_int16_waveforms():
     """The jitted step dequantizes int16 batches on device with results
     identical to pre-converted float batches."""

@@ -13,6 +13,20 @@ def test_maybe_initialize_noop_without_env(monkeypatch):
     assert maybe_initialize() is False
 
 
+def test_maybe_initialize_rejects_partial_env(monkeypatch):
+    """A half-wired multi-host launch must be a loud configuration error,
+    not a silent fleet of independent single-process training runs."""
+    import pytest
+    for var in ('JAX_COORDINATOR_ADDRESS', 'JAX_NUM_PROCESSES',
+                'JAX_PROCESS_ID', 'JAX_PROCESS_COUNT', 'JAX_PROCESS_INDEX',
+                'SED_TPU_MULTIHOST'):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv('JAX_COORDINATOR_ADDRESS', 'host0:8476')
+    monkeypatch.setenv('JAX_NUM_PROCESSES', '2')
+    with pytest.raises(RuntimeError, match='JAX_PROCESS_ID'):
+        maybe_initialize()
+
+
 def test_host_sharded_sampler_slices_disjoint_and_complete():
     batches = [[{'i': i, 'b': b} for i in range(8)] for b in range(3)]
     shards = [list(HostShardedSampler(batches, process_index=k,

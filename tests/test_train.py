@@ -186,3 +186,27 @@ def test_device_prefetch_order_and_errors():
     with pytest.raises(ValueError, match='boom'):
         next(it)
         next(it)
+
+
+def test_device_prefetch_stops_when_abandoned():
+    """Closing/abandoning the prefetch generator must stop the producer
+    thread instead of letting it draw from the source pipeline for the
+    rest of the process (train loops break at stop_iteration)."""
+    import time
+    from sed_tpu.train.prefetch import device_prefetch
+
+    drawn = [0]
+
+    def src():
+        while True:
+            drawn[0] += 1
+            yield {'a': np.zeros((2,), np.float32)}
+
+    it = device_prefetch(src(), size=2)
+    next(it)
+    next(it)
+    it.close()                     # what a returning train loop does
+    time.sleep(0.6)                # let a parked producer notice
+    n = drawn[0]
+    time.sleep(0.6)
+    assert drawn[0] == n           # no further draws after close
