@@ -31,7 +31,7 @@ from sed_tpu.eval.evaluator import Evaluator
 from sed_tpu.eval import segment_metrics
 import sed_tpu.post.events as post_events
 import sed_tpu.post.merge as post_merge
-from sed_tpu.utils.logging_utils import create_logging
+from sed_tpu.utils.logging_utils import count_parameters, create_logging
 from sed_tpu.utils.statistics import StatisticsContainer
 
 
@@ -108,6 +108,7 @@ def train(args):
     state = create_train_state(model, jax.random.PRNGKey(0),
                                jnp.asarray(example),
                                learning_rate=args.learning_rate)
+    count_parameters(state.params)   # utilities.py:17-27 table
     ckpt_dir = ws.checkpoint_path(args.feature_type, cfg.name, create=True)
     iteration = 0
     if args.resume_iteration > 0:

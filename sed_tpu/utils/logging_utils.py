@@ -11,6 +11,29 @@ def get_filename(path: str) -> str:
     return os.path.splitext(name_ext)[0]
 
 
+def count_parameters(params) -> int:
+    """Log a per-module parameter-count table and return the total
+    (``utils/utilities.py:17-27``'s PrettyTable, dependency-free)."""
+    import jax
+    import numpy as np
+    rows = []
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        name = '/'.join(getattr(k, 'key', str(k)) for k in path)
+        rows.append((name, int(np.prod(leaf.shape))))
+    width = max([len(r[0]) for r in rows] + [len('Module')])
+    sep = '+' + '-' * (width + 2) + '+' + '-' * 12 + '+'
+    logging.info(sep)
+    logging.info('| %-*s | %10s |', width, 'Module', 'Parameters')
+    logging.info(sep)
+    for name, n in rows:
+        logging.info('| %-*s | %10d |', width, name, n)
+    total = sum(n for _, n in rows)
+    logging.info(sep)
+    logging.info('Total trainable parameters: %d', total)
+    return total
+
+
 def create_logging(log_dir: str, filemode: str = 'w') -> logging.Logger:
     """File + console logging with sequentially numbered log files."""
     os.makedirs(log_dir, exist_ok=True)

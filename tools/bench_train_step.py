@@ -58,7 +58,10 @@ def main():
         .astype(np.float32),
     }
 
+    want = os.environ.get('BENCH_DTYPES', 'f32,bf16').split(',')
     for tag, compute_dtype in (('f32', None), ('bf16', jnp.bfloat16)):
+        if tag not in want:
+            continue
         model = get_model(model_type, cfg, compute_dtype=compute_dtype)
         state = create_train_state(
             model, jax.random.PRNGKey(0),
