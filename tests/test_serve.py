@@ -158,6 +158,32 @@ def test_stream_matches_bulk(engine):
         engine.predict_clips_stream(bad(), names=names)
 
 
+def test_stream_unwinds_pipeline_on_consumer_error(engine):
+    """A failure in the consuming stage (here: names too short) must not
+    leave the reader/uploader threads parked on full queues — the
+    pipeline unwinds and the engine stays usable."""
+    import threading
+    rng = np.random.RandomState(29)
+    wavs = rng.uniform(-0.3, 0.3,
+                       (24, AUDIO_16K.sample_rate * 5)).astype(np.float32)
+
+    def chunks():
+        for i in range(0, 24, engine.batch_size):
+            yield wavs[i:i + engine.batch_size]
+
+    before = threading.active_count()
+    with pytest.raises(IndexError):
+        engine.predict_clips_stream(chunks(), names=['only-one.wav'])
+    # the finally-block joins both pipeline threads (2 s timeout each)
+    assert threading.active_count() <= before + 1
+    # engine still serves correctly afterwards
+    ev, _ = engine.predict_clips_stream(
+        chunks(), names=[f'c{i}.wav' for i in range(24)])
+    want, _ = engine.predict_clips(wavs,
+                                   names=[f'c{i}.wav' for i in range(24)])
+    assert ev == want
+
+
 def test_bulk_matches_per_file(engine):
     """predict_clips must agree with predict_waveform for 5 s clips."""
     rng = np.random.RandomState(3)
