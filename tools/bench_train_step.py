@@ -75,11 +75,16 @@ def main():
 
         state, metrics = step(state, weak_d, strong_d, keys[0])
         jax.block_until_ready(metrics)          # compile + warm
-        t0 = time.perf_counter()
-        for i in range(reps):
-            state, metrics = step(state, weak_d, strong_d, keys[i])
-        jax.block_until_ready((state, metrics))
-        dt = (time.perf_counter() - t0) / reps
+        best = None
+        for _ in range(3):                      # best pass beats phase noise
+            t0 = time.perf_counter()
+            for i in range(reps):
+                state, metrics = step(state, weak_d, strong_d, keys[i])
+            jax.block_until_ready((state, metrics))
+            dt = (time.perf_counter() - t0) / reps
+            best = dt if best is None else min(best, dt)
+            print(f'  pass: {dt * 1e3:.2f} ms/step', flush=True)
+        dt = best
         print(f'{model_type} {tag}: {dt * 1e3:.2f} ms/step device '
               f'({nw}+{ns} clips/step -> '
               f'{(nw + ns) / dt:.0f} clips/s trained), '
