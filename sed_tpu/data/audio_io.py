@@ -120,6 +120,8 @@ def fast_read_wav_int16(path: str) -> Tuple[np.ndarray, int]:
             if fmt != 1 or bits != 16:
                 return load_wav_int16(path)
         elif chunk_id == b'data':
+            if sr is None:            # data before/without fmt: punt
+                return load_wav_int16(path)
             data = np.frombuffer(buf, np.int16, count=size // 2,
                                  offset=pos + 8)
             if channels > 1:

@@ -162,14 +162,28 @@ class DataLoader:
     # -- single-thread path ------------------------------------------------
 
     def _produce(self, q: queue_mod.Queue, stop: threading.Event):
+        def put(item) -> bool:
+            # bounded put that notices an abandoned consumer instead of
+            # parking forever on a full queue (leaking the thread, the
+            # queued batches, and the dataset's HDF5 handles)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
         try:
             for batch_meta in self.batch_sampler:
                 if stop.is_set():
                     return
-                q.put(self.collate([self.dataset[m] for m in batch_meta]))
-            q.put(None)
+                if not put(self.collate([self.dataset[m]
+                                         for m in batch_meta])):
+                    return
+            put(None)
         except Exception as exc:  # surface worker errors to the consumer
-            q.put(exc)
+            put(exc)
 
     # -- multi-worker path (ordered reassembly) ------------------------------
 

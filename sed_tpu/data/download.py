@@ -46,18 +46,21 @@ def download_audioset(csv_path: str, out_dir: str,
         if os.path.exists(out):
             continue
         try:
-            url = subprocess.run(
+            lines = subprocess.run(
                 [tool, '-g', '-f', 'bestaudio',
                  f'https://www.youtube.com/watch?v={ytid}'],
                 check=True, capture_output=True,
-                text=True).stdout.strip().splitlines()[0]
+                text=True).stdout.strip().splitlines()
+            if not lines:      # resolver exited 0 with no URL (gated clip)
+                raise RuntimeError('resolver returned no URL')
             subprocess.run(
-                ['ffmpeg', '-y', '-ss', str(start), '-i', url,
+                ['ffmpeg', '-y', '-ss', str(start), '-i', lines[0],
                  '-t', str(duration), '-ar', str(sample_rate),
                  '-ac', '1', out],
                 check=True, capture_output=True)
             counts['downloaded'] += 1
-        except subprocess.CalledProcessError as exc:
+        except (subprocess.CalledProcessError, RuntimeError, OSError) \
+                as exc:        # one bad clip must not abort the batch
             logging.warning('failed %s: %s', ytid, exc)
             counts['failed'] += 1
     return counts

@@ -85,14 +85,23 @@ def decode_packed_tracks(high: np.ndarray, low: Optional[np.ndarray],
         assert low.shape == high.shape
     n_smooth = np.ascontiguousarray(n_smooth, np.int32)
     n_salt = np.ascontiguousarray(n_salt, np.int32)
-    out_pairs = np.empty((k, max_events, 2), np.int32)
-    out_counts = np.empty((k,), np.int32)
-    rc = lib.sed_decode_tracks(
-        high.ctypes.data, 0 if low is None else low.ctypes.data,
-        k, tb, t,
-        n_smooth.ctypes.data, n_salt.ctypes.data,
-        out_pairs.ctypes.data, out_counts.ctypes.data, max_events)
-    assert rc == 0, 'native decoder failed'
+    # a track of t frames can hold at most ceil(t/2) distinct events; if
+    # any track fills the output buffer the C side may have truncated —
+    # retry with a larger cap so native == numpy on pathological tracks
+    hard_cap = t // 2 + 1
+    while True:
+        out_pairs = np.empty((k, max_events, 2), np.int32)
+        out_counts = np.empty((k,), np.int32)
+        rc = lib.sed_decode_tracks(
+            high.ctypes.data, 0 if low is None else low.ctypes.data,
+            k, tb, t,
+            n_smooth.ctypes.data, n_salt.ctypes.data,
+            out_pairs.ctypes.data, out_counts.ctypes.data, max_events)
+        assert rc == 0, 'native decoder failed'
+        if max_events >= hard_cap or int(out_counts.max(initial=0)) \
+                < max_events:
+            break
+        max_events = min(max_events * 4, hard_cap)
     return [
         [(int(out_pairs[i, j, 0]), int(out_pairs[i, j, 1]))
          for j in range(out_counts[i])]

@@ -90,6 +90,9 @@ class SedInferenceEngine:
         self.window_samples = cfg.sample_rate * sample_duration
         assert gather_format in ('packed', 'float')
         self.gather_format = gather_format
+        # bulk APIs dispatch at most this many forward batches before
+        # pulling results (bounds live HBM buffers on huge inputs)
+        self.dispatch_ahead_batches = 64
 
         mulaw_table = jnp.asarray(audio_io.mulaw_decode_table())
 
@@ -282,6 +285,15 @@ class SedInferenceEngine:
         ``duration`` may be passed separately (the reference schedules
         windows by the original file duration even after pad/truncate,
         ``main_strong.py:778-791``); ``step`` overrides the window hop.
+
+        Reference quirk preserved: the overlap-add merge always places
+        windows at ``overlap_value``-second offsets even when the window
+        hop is ``sample_duration`` (``overlap=False``) — the reference
+        calls ``merge(..., overlap_value)`` unconditionally
+        (``predict.py:324-338``), so non-overlapped windows are merged
+        as if they overlapped.  Exact-parity behavior; pass
+        ``overlap=True`` (the reference's documented serving config) for
+        sensible output on long files.
         """
         if duration is None:
             duration = len(audio) / float(self.cfg.sample_rate)
@@ -395,6 +407,15 @@ class SedInferenceEngine:
         n, width = wavs.shape
         if clip_samples is None:
             clip_samples = width
+        # bound live device buffers like predict_clips: chunk big inputs
+        limit = self.dispatch_ahead_batches * self.batch_size
+        if n > limit:
+            out: List[List[dict]] = []
+            for i in range(0, n, limit):
+                out.extend(self.predict_clips_windowed(
+                    wavs[i:i + limit], names[i:i + limit], duration,
+                    step, clip_samples))
+            return out
         fn, gather_fn, tb, total, w_count = self._windowed_pipeline(
             clip_samples, duration, step)
         p = self.sed_params.per_class(len(self.labels)) \
@@ -470,7 +491,12 @@ class SedInferenceEngine:
         return per_clip
 
     def predict_file(self, path: str) -> Tuple[List[dict], str]:
-        """Audio file -> (event list sorted by onset, XML string)."""
+        """Audio file -> (event list sorted by onset, XML string).
+
+        Reference quirk preserved: the fallback "Others" span uses the
+        post-loop window ``start``, so files shorter than one hop past
+        the first window emit ``stime > duration`` with negative ``dur``
+        exactly like ``predict.py:352-399`` does."""
         audio, _ = audio_io.load_audio(path, sr=self.cfg.sample_rate)
         duration = len(audio) / float(self.cfg.sample_rate)
         name = os.path.basename(path)
@@ -561,10 +587,24 @@ class SedInferenceEngine:
         and only the threshold-active (clip, class) tracks are pulled to
         the host for event decoding.  This keeps device->host traffic at
         ~100 bytes/clip + ~2 KB per active track instead of 50 KB/clip.
+
+        Dispatch-ahead is bounded: inputs larger than 64 forward batches
+        are processed in chunks so live device buffers (framewise outputs
+        of every dispatched batch) cannot grow with input size — for
+        truly streaming inputs prefer ``predict_clips_stream``.
         """
         n = wavs.shape[0]
         if names is None:
             names = [f'clip{i}.wav' for i in range(n)]
+        limit = self.dispatch_ahead_batches * self.batch_size
+        if n > limit:
+            per_clip, xmls = [], []
+            for i in range(0, n, limit):
+                ev, xm = self.predict_clips(wavs[i:i + limit],
+                                            names[i:i + limit])
+                per_clip.extend(ev)
+                xmls.extend(xm)
+            return per_clip, xmls
         widths = {self.window_samples}
         if self.window_samples % audio_io.Q4_BLOCK == 0:
             widths.update(audio_io.qn_bytes(self.window_samples, n)

@@ -37,7 +37,7 @@ def make_train_step(model, weak_loss_func: Callable,
     ``strong_batch={'streams': [...]}`` — here we accept a list.
     """
 
-    def _forward(params, batch_stats, batch, rng, train=True):
+    def _forward(params, batch_stats, batch, rng):
         variables = {'params': params}
         if batch_stats is not None:
             variables['batch_stats'] = batch_stats

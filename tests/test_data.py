@@ -197,6 +197,63 @@ def test_multiworker_loader_surfaces_sampler_errors(packed):
     ds.close()
 
 
+def test_singleworker_loader_stops_when_abandoned(packed):
+    """Abandoning a single-worker loader iterator must stop its producer
+    thread instead of leaving it parked on the full prefetch queue."""
+    import gc
+    import time
+    out, _ = packed
+    drawn = [0]
+
+    def sampler():
+        while True:
+            drawn[0] += 1
+            yield [{'hdf5_path': out, 'index_in_hdf5': 0}]
+
+    ds = AudiosetDataset()
+    it = iter(DataLoader(ds, sampler(), prefetch=2))
+    next(it)
+    it.close()
+    gc.collect()
+    time.sleep(0.6)
+    n = drawn[0]
+    time.sleep(0.6)
+    assert drawn[0] == n          # producer stopped drawing
+    ds.close()
+
+
+def test_fast_wav_reader_noncanonical_chunk_layouts(tmp_path):
+    """Extra chunks before fmt parse fine; data-before-fmt falls back to
+    the general reader's clear ValueError instead of crashing on
+    int(None)."""
+    import struct
+    import pytest as _pytest
+    from sed_tpu.data import audio_io
+    pcm = (np.arange(16) * 100).astype(np.int16)
+    data = pcm.tobytes()
+    fmt = struct.pack('<HHIIHH', 1, 1, 8000, 16000, 2, 16)
+
+    def riff(body):
+        return b'RIFF' + struct.pack('<I', 4 + len(body)) + b'WAVE' + body
+
+    # LIST chunk ahead of fmt: canonical enough for the fast path
+    extra = b'LIST' + struct.pack('<I', 4) + b'INFO'
+    p1 = tmp_path / 'list_first.wav'
+    p1.write_bytes(riff(extra + b'fmt ' + struct.pack('<I', len(fmt))
+                        + fmt + b'data' + struct.pack('<I', len(data))
+                        + data))
+    x, sr = audio_io.fast_read_wav_int16(str(p1))
+    assert sr == 8000
+    np.testing.assert_array_equal(x, pcm)
+
+    # data before fmt: both readers reject; must be a clean ValueError
+    p2 = tmp_path / 'data_first.wav'
+    p2.write_bytes(riff(b'data' + struct.pack('<I', len(data)) + data
+                        + b'fmt ' + struct.pack('<I', len(fmt)) + fmt))
+    with _pytest.raises(ValueError):
+        audio_io.fast_read_wav_int16(str(p2))
+
+
 def test_dataset_handles_do_not_accumulate_across_iterations(packed):
     """Re-iterating a multi-worker loader spawns fresh threads; dead
     threads' HDF5 handles must be released (via thread-local GC), not

@@ -33,6 +33,22 @@ def test_native_matches_numpy_decoder(seed):
         assert [list(p) for p in got[i]] == want
 
 
+def test_native_cap_overflow_matches_numpy():
+    """Tracks with more events than the default 256-entry buffer must
+    grow the buffer and return the full set (not silently truncate)."""
+    t = 1600
+    # ~400 isolated 2-frame events with n_salt=1 -> >256 survive
+    high = np.zeros((1, t), bool)
+    high[0, ::4] = True
+    high[0, 1::4] = True
+    n_smooth = np.zeros(1, np.int32)
+    n_salt = np.zeros(1, np.int32)
+    got = decode_packed_tracks(_pack(high), None, t, n_smooth, n_salt)
+    want = vad.activity_detection_masks(high[0], None, 0, 0)
+    assert len(got[0]) == len(want) > 256
+    assert [list(p) for p in got[0]] == want
+
+
 def test_native_no_low_mask():
     rng = np.random.RandomState(99)
     x = rng.uniform(0, 1, (8, 300))

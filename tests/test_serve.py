@@ -158,6 +158,23 @@ def test_stream_matches_bulk(engine):
         engine.predict_clips_stream(bad(), names=names)
 
 
+def test_predict_clips_chunking_matches_unchunked(engine):
+    """The dispatch-ahead bound (chunked processing of huge inputs) must
+    not change results."""
+    rng = np.random.RandomState(41)
+    wavs = rng.uniform(-0.3, 0.3,
+                       (18, AUDIO_16K.sample_rate * 5)).astype(np.float32)
+    names = [f'c{i}.wav' for i in range(18)]
+    want = engine.predict_clips(wavs, names=names)
+    old = engine.dispatch_ahead_batches
+    try:
+        engine.dispatch_ahead_batches = 1     # chunk every batch
+        got = engine.predict_clips(wavs, names=names)
+    finally:
+        engine.dispatch_ahead_batches = old
+    assert got == want
+
+
 def test_stream_unwinds_pipeline_on_consumer_error(engine):
     """A failure in the consuming stage (here: names too short) must not
     leave the reader/uploader threads parked on full queues — the

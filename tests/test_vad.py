@@ -148,6 +148,24 @@ def test_overlap_add_matches_incremental_merge():
     np.testing.assert_allclose(oneshot, merged, rtol=1e-6, atol=1e-6)
 
 
+def test_events_to_xml_escapes_attributes():
+    """ASR transcripts / file names with XML metacharacters must yield
+    well-formed XML (the reference concatenates raw strings)."""
+    import xml.etree.ElementTree as ET
+    from sed_tpu.post.xml_writer import events_to_xml
+    events = [{'onset': 0.5, 'offset': 1.5, 'event_label': 'Speech',
+               'text': 'he said "stop" & <ran>'}]
+    xml = events_to_xml(events, 'a&b<c>.wav')
+    root = ET.fromstring(xml)              # parses => well-formed
+    assert root.attrib['name'] == 'a&b<c>.wav'
+    seg = root.find('.//SoundSegment')
+    assert seg.attrib['text'] == 'he said "stop" & <ran>'
+    # plain label path stays byte-identical to the reference format
+    plain = events_to_xml([{'onset': 0, 'offset': 1,
+                            'event_label': 'Siren'}], 'x.wav')
+    assert '<SoundSegment stime="0" dur="1" event="Siren">Siren' in plain
+
+
 def test_write_submission(tmp_path):
     events = [{'filename': 'x.wav', 'onset': 0.5, 'offset': 1.25,
                'event_label': 'Siren'}]
