@@ -71,8 +71,13 @@ def do_mixup(x: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
 
 def do_timeshift(key: jax.Array, x: jnp.ndarray, axis: int = 1,
                  mean: float = 0.0, std: float = 90.0) -> jnp.ndarray:
-    """Roll the whole batch along the time axis by int(N(mean, std))."""
-    shift = jnp.round(mean + std * jax.random.normal(key)).astype(jnp.int32)
+    """Roll the whole batch along the time axis by int(N(mean, std)).
+
+    ``int()`` truncates toward zero like the reference
+    (``pytorch_utils.py:124``) — draws in (-1, 1) all map to shift 0, a
+    double-width zero bin that rounding would not reproduce.
+    """
+    shift = jnp.trunc(mean + std * jax.random.normal(key)).astype(jnp.int32)
     return jnp.roll(x, shift, axis=axis)
 
 

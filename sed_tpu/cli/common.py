@@ -23,6 +23,12 @@ def add_common_args(parser: argparse.ArgumentParser,
     parser.add_argument('--model_type', type=str,
                         default='Cnn_9layers_Gru_FrameAtt')
     parser.add_argument('--loss_type', type=str, default='clip_bce')
+    # reference quirk preserved: the choice list (README.md's
+    # augmentation list) spells the standalone option 'spec_augment'
+    # with an underscore, but dispatch tests `'specaugment' in
+    # augmentation` (``main_strong.py:278``) — so 'spec_augment' trains
+    # with NO augmentation in the reference and here alike; use a
+    # 'specaugment_*' combo for SpecAugment
     parser.add_argument('--augmentation', type=str, default='none',
                         choices=['none', 'spec_augment', 'timeshift',
                                  'mixup', 'timeshift_mixup',

@@ -71,8 +71,11 @@ def train(args):
     train_dataset = AudiosetDataset(dequantize=False)
     dataset = AudiosetDataset()
     workers = getattr(args, 'num_workers', 2)
-    # batch-size scheme: weak x3, doubled under mixup
-    # (``main_strong.py:229-236``)
+    # batch-size scheme, reproducing the reference expression INCLUDING
+    # its conditional precedence (``main_strong.py:229-236``): with
+    # mixup the weak stream draws (bs*3)*2; withOUT mixup the x3 weak
+    # multiplier is dropped too (the reference's `(bs * 3) * 2 if
+    # 'mixup' in augmentation else bs` parses that way)
     weak_bs = (args.batch_size * 3) * 2 if mixup else args.batch_size
     strong_bs = args.batch_size * 2 if mixup else args.batch_size
     # every process draws the same seeded global stream and loads only

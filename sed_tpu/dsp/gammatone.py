@@ -216,12 +216,20 @@ def fft_gtgram(wave: np.ndarray, fs: int, window_time: float,
         int(fs), window_time, hop_time, channels, f_min)
     s = wave.shape[0]
     n_frames = max(0, -(-(s - nfft) // nhop))  # frames at b < s - nfft
+    # the reference specgram pre-allocates 1 + floor((s-n)/h) columns but
+    # its loop fills only ceil((s-n)/h): when (s-n) divides h exactly the
+    # final column stays all-zero (``gammatone/fftweight.py:51-55``)
+    n_cols = 1 + (s - nfft) // nhop if s >= nfft else n_frames
     frames = np.stack([wave[b * nhop:b * nhop + nfft]
                        for b in range(n_frames)])
     re_im = frames @ analysis.astype(np.float64)
     n_bins = nfft // 2 + 1
     mag = np.hypot(re_im[:, :n_bins], re_im[:, n_bins:])
-    return (mag @ weights.astype(np.float64)).T
+    out = (mag @ weights.astype(np.float64)).T
+    if n_cols > n_frames:
+        out = np.concatenate(
+            [out, np.zeros((out.shape[0], n_cols - n_frames))], axis=1)
+    return out
 
 
 def fft_gtgram_batch(waves: jnp.ndarray, fs: int, window_time: float,
@@ -234,6 +242,9 @@ def fft_gtgram_batch(waves: jnp.ndarray, fs: int, window_time: float,
         int(fs), window_time, hop_time, channels, f_min)
     s = waves.shape[-1]
     n_frames = max(0, -(-(s - nfft) // nhop))
+    # trailing all-zero column when (s-nfft) % nhop == 0, like the
+    # reference specgram (see fft_gtgram above)
+    n_cols = 1 + (s - nfft) // nhop if s >= nfft else n_frames
     frames = frame_signal(waves, nfft, nhop, center=False)[..., :n_frames, :]
     re_im = jnp.matmul(frames, jnp.asarray(analysis),
                        precision=jax.lax.Precision.HIGHEST)
@@ -241,6 +252,9 @@ def fft_gtgram_batch(waves: jnp.ndarray, fs: int, window_time: float,
     mag = jnp.sqrt(re_im[..., :n_bins] ** 2 + re_im[..., n_bins:] ** 2)
     out = jnp.matmul(mag, jnp.asarray(weights),
                      precision=jax.lax.Precision.HIGHEST)
+    if n_cols > n_frames:
+        pad = [(0, 0)] * (out.ndim - 2) + [(0, n_cols - n_frames), (0, 0)]
+        out = jnp.pad(out, pad)
     return out.swapaxes(-1, -2)
 
 

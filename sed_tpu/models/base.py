@@ -63,8 +63,12 @@ class SedFeatureBase(nn.Module):
 
     def compute_features(self, x: jnp.ndarray, train: bool,
                          mixup_lambda: Optional[jnp.ndarray],
-                         timeshift: bool, spec_augment: bool) -> jnp.ndarray:
-        """waveform (B, samples) or gamma (B, F, T) -> (B, T, F, 1)."""
+                         timeshift: bool, spec_augment: bool,
+                         skip_bn0: bool = False) -> jnp.ndarray:
+        """waveform (B, samples) or gamma (B, F, T) -> (B, T, F, 1).
+
+        ``skip_bn0`` omits the mel-bin BatchNorm for models whose
+        reference comments it out (VGGish, ``models.py:2304-2311``)."""
         if self.feature_type == 'logmel':
             if self.frontend_impl == 'pallas':
                 from sed_tpu.ops.logmel_kernel import fused_logmel
@@ -86,9 +90,10 @@ class SedFeatureBase(nn.Module):
             raise ValueError(f'unsupported feature_type: {self.feature_type}')
 
         # BatchNorm over mel bins (reference bn0, ``models.py:642-644``).
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, axis=2, axis_name=self.bn_axis_name,
-                         name='bn0')(x)
+        if not skip_bn0:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, axis=2,
+                             axis_name=self.bn_axis_name, name='bn0')(x)
 
         if train and spec_augment:
             x = aug.spec_augment(self.make_rng('augment'), x,

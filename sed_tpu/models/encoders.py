@@ -160,7 +160,10 @@ class Conv2dSubsampling(nn.Module):
         h = nn.relu(nn.Conv(self.odim, (3, 3), strides=(2, 2),
                             padding='VALID', name='conv2')(h))
         b, t, f, c = h.shape
-        h = h.reshape(b, t, f * c)
+        # torch flattens (b, c, t, f) as transpose(1,2).view(b, t, c*f)
+        # -- channel-major -- so .pth Dense weights map without reorder
+        # (``transformer/subsampling.py:36``)
+        h = jnp.swapaxes(h, 2, 3).reshape(b, t, c * f)
         h = nn.Dense(self.odim, name='out')(h)
         return PositionalEncoding(self.odim, self.dropout_rate,
                                   name='pos_enc')(h, train)
@@ -180,7 +183,8 @@ class Conv2dNoSubsampling(nn.Module):
         h = nn.relu(nn.Conv(self.odim, (3, 3), padding='SAME',
                             name='conv2')(h))
         b, t, f, c = h.shape
-        h = h.reshape(b, t, f * c)
+        # channel-major flatten, matching torch (subsampling.py:70)
+        h = jnp.swapaxes(h, 2, 3).reshape(b, t, c * f)
         h = nn.Dense(self.odim, name='out')(h)
         return PositionalEncoding(self.odim, self.dropout_rate,
                                   name='pos_enc')(h, train)
@@ -227,6 +231,8 @@ class TransformerEncoder(nn.Module):
         elif self.transformer_input_layer == 'conv2d':
             x = Conv2dSubsampling(self.idim, self.adim, self.dropout_rate,
                                   name='input_layer')(x, train)
+            # the reference hardcodes x_mask = None before its (dead)
+            # mask-subsampling line (``subsampling.py:35-39``) -- parity
             mask = None
         elif self.transformer_input_layer == 'conv2d_no':
             x = Conv2dNoSubsampling(self.adim, self.dropout_rate,
@@ -450,7 +456,10 @@ class BaselineCNN(nn.Module):
                        self.stride[i])
             x = nn.Conv(ch, (k, k), strides=(s, s), padding=[(p, p)] * 2,
                         name=f'conv{i}')(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+            # torch BatchNorm2d(momentum=0.99) means running = 0.01*run
+            # + 0.99*batch; flax momentum is the complement -> 0.01
+            # (``models_2020/baseline_model.py:56``)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.01,
                              epsilon=1e-3, axis_name=self.bn_axis_name,
                              name=f'bn{i}')(x)
             act = self.activation.lower()

@@ -54,17 +54,10 @@ register('Cnn_14layers_Transformer_FrameAtt', temporal='multihead',
          pad_to_roundup=True)
 
 
-def _late_imports():
-    """Deferred so the registry module stays import-light."""
-    from sed_tpu.models.conformer_zoo import (ConformerSed,
-                                              TokenPoolingConformer)
-    from sed_tpu.models.vggish import VGGishSed
-    from sed_tpu.models.panns import Cnn14DecisionLevelAtt
-    return ConformerSed, TokenPoolingConformer, VGGishSed, \
-        Cnn14DecisionLevelAtt
-
-
-_ConformerSed, _TokenPool, _VGGishSed, _Cnn14 = _late_imports()
+from sed_tpu.models.conformer_zoo import ConformerSed as _ConformerSed, \
+    TokenPoolingConformer as _TokenPool
+from sed_tpu.models.vggish import VGGishSed as _VGGishSed
+from sed_tpu.models.panns import Cnn14DecisionLevelAtt as _Cnn14
 
 # CNN + Conformer family (pytorch/models.py:1189-2218)
 register('Cnn_9layers_Conformer_FrameAtt', cls=_ConformerSed, head='att',

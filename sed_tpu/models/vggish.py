@@ -54,31 +54,10 @@ class VGGishSed(SedFeatureBase):
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  mixup_lambda: Optional[jnp.ndarray] = None,
                  timeshift: bool = False, spec_augment: bool = True) -> dict:
-        # frontend WITHOUT bn0 (the reference comments it out)
-        from sed_tpu.models.base import _frontend_arrays
-        from sed_tpu.dsp import frontend as fe
-        if self.feature_type == 'logmel':
-            stft_mat, mel_mat = _frontend_arrays(self.cfg)
-            spec = fe.spectrogram(x, jnp.asarray(stft_mat),
-                                  self.cfg.hop_size,
-                                  center=self.cfg.center,
-                                  pad_mode=self.cfg.pad_mode)
-            mel = jnp.matmul(spec, jnp.asarray(mel_mat))
-            x = fe.power_to_db(mel, ref=self.cfg.ref, amin=self.cfg.amin,
-                               top_db=self.cfg.top_db)[..., None]
-        else:
-            x = x.transpose(0, 2, 1)[..., None]
-
-        if train and spec_augment:
-            x = aug.spec_augment(self.make_rng('augment'), x)
-        if train and mixup_lambda is not None:
-            if timeshift:
-                x = aug.do_mixup_timeshift(self.make_rng('augment'), x,
-                                           mixup_lambda, axis=1)
-            else:
-                x = aug.do_mixup(x, mixup_lambda)
-        elif train and timeshift:
-            x = aug.do_timeshift(self.make_rng('augment'), x, axis=1)
+        # shared frontend WITHOUT bn0 (the reference comments it out,
+        # ``models.py:2304-2311``)
+        x = self.compute_features(x, train, mixup_lambda, timeshift,
+                                  spec_augment, skip_bn0=True)
 
         x = VGGishFeatures(name='vggish')(x)
         x = jnp.mean(x, axis=2)                         # (B, T', 512)

@@ -501,3 +501,56 @@ def test_cnn14_pth_parity():
     _randomize_bn_stats(oracle, rng)
     wav = rng.uniform(-0.5, 0.5, (2, CFG.sample_rate * 5)).astype(np.float32)
     _roundtrip(oracle, 'Cnn14_DecisionLevelAtt', wav)
+
+
+# ---------------------------------------------------------------------------
+# Conv2d subsampling input layer (transformer/subsampling.py:7-72) —
+# validates the torch channel-major flatten order of the Dense input
+# ---------------------------------------------------------------------------
+
+class _TorchConv2dSubsampling(torch.nn.Module):
+    def __init__(self, idim=64, odim=144):
+        super().__init__()
+        self.conv = torch.nn.Sequential(
+            torch.nn.Conv2d(1, odim, 3, 2), torch.nn.ReLU(),
+            torch.nn.Conv2d(odim, odim, 3, 2), torch.nn.ReLU())
+        self.out = torch.nn.Sequential(
+            torch.nn.Linear(odim * (((idim - 1) // 2 - 1) // 2), odim),
+            _TorchPositionalEncoding(odim))
+
+    def forward(self, x):
+        x = x.unsqueeze(1)
+        x = self.conv(x)
+        b, c, t, f = x.size()
+        return self.out(x.transpose(1, 2).contiguous().view(b, t, c * f))
+
+
+def test_conv2d_subsampling_flatten_order_matches_torch():
+    """The flax Conv2dSubsampling must flatten conv output channel-major
+    like torch's transpose(1,2).view(b,t,c*f), so reference Dense
+    weights transfer with a plain transpose."""
+    import jax
+    from sed_tpu.models.encoders import Conv2dSubsampling
+
+    torch.manual_seed(11)
+    oracle = _TorchConv2dSubsampling().eval()
+    mod = Conv2dSubsampling(idim=64, odim=144)
+    x = np.random.RandomState(11).uniform(
+        -1, 1, (2, 101, 64)).astype(np.float32)
+    variables = mod.init({'params': jax.random.PRNGKey(0)},
+                         jnp.asarray(x))
+    p = jax.tree_util.tree_map(lambda a: a, variables)['params']
+    sd = oracle.state_dict()
+    p['conv1']['kernel'] = jnp.asarray(
+        sd['conv.0.weight'].permute(2, 3, 1, 0).numpy())
+    p['conv1']['bias'] = jnp.asarray(sd['conv.0.bias'].numpy())
+    p['conv2']['kernel'] = jnp.asarray(
+        sd['conv.2.weight'].permute(2, 3, 1, 0).numpy())
+    p['conv2']['bias'] = jnp.asarray(sd['conv.2.bias'].numpy())
+    p['out']['kernel'] = jnp.asarray(sd['out.0.weight'].numpy().T)
+    p['out']['bias'] = jnp.asarray(sd['out.0.bias'].numpy())
+    got = mod.apply({'params': p}, jnp.asarray(x))
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4,
+                               atol=1e-4)
