@@ -18,7 +18,11 @@ Configuration (env vars):
                             device-equal to f32 on this chip — 0.23 vs
                             0.25 ms per 256-clip forward, BENCHMARKS.md —
                             so the exact-numerics path is the default)
-  BENCH_CLIPS / BENCH_BATCH / BENCH_REPEATS
+  BENCH_BATCH/BENCH_GROUP/BENCH_PULL  device-batch 512, two batches
+                            fused per launch (lax.map), all-tracks
+                            packed-mask pull (fewest tunnel RPC round
+                            trips; interleaved A/B in BENCHMARKS.md)
+  BENCH_CLIPS / BENCH_REPEATS
 The model is the trained synthetic-tone checkpoint
 (tools/bench_checkpoint.npz, see tools/make_bench_checkpoint.py) so event
 decoding reflects real detections; falls back to a bias-calibrated random
@@ -37,7 +41,9 @@ import time
 import numpy as np
 
 N_CLIPS = int(os.environ.get('BENCH_CLIPS', '2048'))
-BATCH = int(os.environ.get('BENCH_BATCH', '256'))
+BATCH = int(os.environ.get('BENCH_BATCH', '512'))
+GROUP = int(os.environ.get('BENCH_GROUP', '2'))
+PULL = os.environ.get('BENCH_PULL', 'full')   # tracks | full
 REPEATS = int(os.environ.get('BENCH_REPEATS', '4'))
 WIRE = os.environ.get('BENCH_WIRE', 'q6')
 BF16 = os.environ.get('BENCH_BF16', '0') == '1'
@@ -102,7 +108,8 @@ def main():
         trained = False
     engine = SedInferenceEngine(model, variables, cfg, sample_duration=5,
                                 overlap=True, sed_params=PREDICT_SED_PARAMS,
-                                batch_size=BATCH)
+                                batch_size=BATCH, launch_group=GROUP,
+                                pull_format=PULL)
 
     # Write wav files (e2e includes file decode).  mu-law files are the
     # standard 8-bit telephony wav (format tag 7).
@@ -132,6 +139,17 @@ def main():
     else:
         warm = (np.clip(clips[:BATCH], -1, 1) * 32767).astype(np.int16)
     engine.predict_clips(warm)
+    # warm the exact stream-path programs (grouped / full-pull variants
+    # are separate compilations)
+    if PULL == 'full':
+        jax.block_until_ready(engine._forward_packed_all(
+            engine.variables, jnp.asarray(warm)))
+        if GROUP > 1:
+            jax.block_until_ready(engine._forward_packed_all_group(
+                engine.variables, jnp.asarray(np.stack([warm] * GROUP))))
+    elif GROUP > 1:      # the grouped lax.map launch is its own program
+        jax.block_until_ready(engine._forward_scan_group(
+            engine.variables, jnp.asarray(np.stack([warm] * GROUP))))
 
     # The serving link's throughput fluctuates over time; take the best
     # of N passes to reduce measurement noise.  File decode streams
@@ -160,7 +178,8 @@ def main():
     print(json.dumps(result))
     print(f'# {N_CLIPS} clips in {elapsed:.2f}s (best of '
           f'{[round(r, 2) for r in results]}), {n_events} events, '
-          f'wire={WIRE}, bf16={BF16}, trained_ckpt={trained}',
+          f'wire={WIRE}, bf16={BF16}, group={GROUP}, pull={PULL}, '
+          f'trained_ckpt={trained}',
           file=sys.stderr)
 
     for p in paths:

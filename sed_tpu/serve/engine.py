@@ -77,7 +77,8 @@ class SedInferenceEngine:
                  sed_params: SedParams = PREDICT_SED_PARAMS,
                  batch_size: int = 32,
                  labels: Sequence[str] = sed_config.LABELS,
-                 mesh=None, gather_format: str = 'packed'):
+                 mesh=None, gather_format: str = 'packed',
+                 launch_group: int = 1, pull_format: str = 'tracks'):
         self.model = model
         self.variables = variables
         self.cfg = cfg
@@ -93,6 +94,17 @@ class SedInferenceEngine:
         # bulk APIs dispatch at most this many forward batches before
         # pulling results (bounds live HBM buffers on huge inputs)
         self.dispatch_ahead_batches = 64
+        # predict_clips_stream fuses this many FULL batches into one
+        # device launch (lax.map) — pays the tunnel's per-launch RPC
+        # latency once per group; single-chip only
+        self.launch_group = max(1, launch_group)
+        # 'tracks': pull per-track maxima then gather-launch the active
+        # tracks (least bytes off-device).  'full': the forward itself
+        # returns packed hi|lo masks for every track — one launch + one
+        # fixed-shape pull per batch group (least RPC round trips; ~64 B
+        # x 2 x classes per clip off-device)
+        assert pull_format in ('tracks', 'full')
+        self.pull_format = pull_format
 
         mulaw_table = jnp.asarray(audio_io.mulaw_decode_table())
 
@@ -189,8 +201,49 @@ class SedInferenceEngine:
             # (B, T, C)[idx_n, :, idx_c] -> (K, T)
             return framewise[idx_n, :, idx_c]
 
+        def _forward_scan_group(variables, wavs):
+            # (G, B, wire) -> one device launch for G*B clips.  lax.map
+            # keeps per-step activations B-sized (a G*B-wide batch OOMs
+            # HBM) while paying the tunnel's per-launch RPC latency
+            # (~0.6 s measured, BENCHMARKS.md) once instead of G times.
+            fw, tm = jax.lax.map(
+                lambda w: _forward_scan(variables, w), wavs)
+            return (fw.reshape((-1,) + fw.shape[2:]),
+                    tm.reshape((-1,) + tm.shape[2:]))
+
         t_frames = len(coverage)
+
+        def _forward_packed_all(variables, wav):
+            # one launch -> (B, C, 2*tb) uint8: packed high|low crossing
+            # masks for EVERY (clip, class) track.  On a link where each
+            # launch/pull costs ~0.5 s of RPC latency (BENCHMARKS.md),
+            # this replaces [forward, track-max pull, K gather launches,
+            # K pulls] with [forward, one pull]; the host derives the
+            # active set from the hi masks (any bit set <=> max > high).
+            fw, _tm = _forward_scan(variables, wav)
+            tb_ = self._track_bytes
+            pack_w = jnp.asarray(self._pack_w)          # (tb*8, tb)
+            hi = (fw > self._high_dev[None, None, :]).astype(jnp.float32)
+            lo = (fw >= self._low_dev[None, None, :]).astype(jnp.float32)
+            hi = jnp.pad(hi, ((0, 0), (0, tb_ * 8 - fw.shape[1]), (0, 0)))
+            lo = jnp.pad(lo, ((0, 0), (0, tb_ * 8 - fw.shape[1]), (0, 0)))
+            # contract over time without an explicit (B,T,C)->(B,C,T)
+            # transpose (slow on this backend): einsum btc,tk->bck
+            hi_p = jnp.einsum('btc,tk->bck', hi, pack_w).astype(jnp.uint8)
+            lo_p = jnp.einsum('btc,tk->bck', lo, pack_w).astype(jnp.uint8)
+            return jnp.concatenate([hi_p, lo_p], axis=2)   # (B, C, 2tb)
+
+        def _forward_packed_all_group(variables, wavs):
+            out = jax.lax.map(
+                lambda w: _forward_packed_all(variables, w), wavs)
+            return out.reshape((-1,) + out.shape[2:])
+
         self._forward_scan = jax.jit(_forward_scan, **jit_kw)
+        self._forward_scan_group = jax.jit(_forward_scan_group) \
+            if mesh is None else None
+        self._forward_packed_all = jax.jit(_forward_packed_all, **jit_kw)
+        self._forward_packed_all_group = \
+            jax.jit(_forward_packed_all_group) if mesh is None else None
         self._gather_tracks = jax.jit(_gather_tracks)
         self._gather_packed, self._track_bytes = \
             self._make_packed_gather(t_frames)
@@ -216,6 +269,10 @@ class SedInferenceEngine:
             np.asarray(pcls['sed_high_threshold'], np.float32))
         low_dev = jnp.asarray(
             np.asarray(pcls['sed_low_threshold'], np.float32))
+        # shared with the all-tracks packed forward (_forward_packed_all)
+        self._pack_w = pack_w
+        self._high_dev = high_dev
+        self._low_dev = low_dev
 
         def _gather_packed(framewise, idx_n, idx_c):
             tracks = framewise[idx_n, :, idx_c]            # (K, T) f32
@@ -739,8 +796,47 @@ class SedInferenceEngine:
             finally:
                 _put(q_chunks, None)
 
+        full = self.pull_format == 'full'
+
         def _uploader():
             i0 = 0
+            group = (self.launch_group
+                     if self._forward_scan_group is not None else 1)
+            pend: List[np.ndarray] = []
+
+            def dispatch_one(chunk, valid) -> bool:
+                nonlocal i0
+                if full:
+                    dev = (self._forward_packed_all(self.variables,
+                                                    jnp.asarray(chunk)),)
+                else:
+                    dev = self._forward_scan(self.variables,
+                                             jnp.asarray(chunk))
+                ok = _put(q_dev, (i0, valid) + dev)
+                i0 += valid
+                return ok
+
+            def flush() -> bool:
+                # pending FULL batches: one lax.map launch when a whole
+                # group accumulated, per-batch launches for a remainder
+                nonlocal i0
+                if not pend:
+                    return True
+                if group > 1 and len(pend) == group:
+                    stacked = jnp.asarray(np.stack(pend))
+                    if full:
+                        dev = (self._forward_packed_all_group(
+                            self.variables, stacked),)
+                    else:
+                        dev = self._forward_scan_group(self.variables,
+                                                       stacked)
+                    ok = _put(q_dev, (i0, group * bs) + dev)
+                    i0 += group * bs
+                else:
+                    ok = all(dispatch_one(c, bs) for c in pend)
+                pend.clear()
+                return ok
+
             try:
                 while not stop.is_set():
                     try:
@@ -754,11 +850,14 @@ class SedInferenceEngine:
                         chunk = np.concatenate(
                             [chunk, np.zeros((bs - valid,) + chunk.shape[1:],
                                              chunk.dtype)], axis=0)
-                    dev = self._forward_scan(self.variables,
-                                             jnp.asarray(chunk))
-                    if not _put(q_dev, (i0, valid) + dev):
-                        return
-                    i0 += valid
+                        # stream order: earlier full batches launch first
+                        if not flush() or not dispatch_one(chunk, valid):
+                            return
+                    else:
+                        pend.append(chunk)
+                        if len(pend) >= group and not flush():
+                            return
+                flush()
             except BaseException as e:
                 err.append(e)
             finally:
@@ -770,11 +869,22 @@ class SedInferenceEngine:
             t.start()
 
         per_clip: List[List[dict]] = []
+        tb = self._track_bytes
         try:
             while True:
                 item = q_dev.get()
                 if item is None:
                     break
+                if full:
+                    i0, valid, packed_dev = item
+                    per_clip.extend([] for _ in range(valid))
+                    buf = np.asarray(packed_dev)[:valid]  # (N, C, 2tb)
+                    act_n, act_c = np.nonzero(
+                        buf[:, :, :tb].any(axis=2))
+                    self._decode_tracks_into(per_clip, names, p,
+                                             buf[act_n, act_c],
+                                             act_n, act_c, i0)
+                    continue
                 i0, valid, framewise_dev, track_max_dev = item
                 per_clip.extend([] for _ in range(valid))
                 track_max = np.asarray(track_max_dev)[:valid]

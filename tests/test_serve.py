@@ -158,6 +158,71 @@ def test_stream_matches_bulk(engine):
         engine.predict_clips_stream(bad(), names=names)
 
 
+def test_stream_launch_group_matches_bulk():
+    """launch_group fuses full batches into one lax.map launch; events
+    and XML must match the ungrouped path, including a partial final
+    chunk and a remainder group."""
+    import jax
+    from sed_tpu.models.registry import get_model
+    cfg = AUDIO_16K
+    model = get_model('Cnn_9layers_Gru_FrameAtt', cfg)
+    wav0 = np.zeros((1, cfg.sample_rate * 5), np.float32)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, wav0,
+                           train=False)
+    eng = SedInferenceEngine(model, variables, cfg, sample_duration=5,
+                             overlap=True, batch_size=4, launch_group=2)
+    rng = np.random.RandomState(55)
+    # 4 full batches of 4 (two groups) + one partial chunk of 3
+    wavs = rng.uniform(-0.3, 0.3,
+                       (19, cfg.sample_rate * 5)).astype(np.float32)
+    names = [f'c{i}.wav' for i in range(19)]
+    want = eng.predict_clips(wavs, names=names)
+
+    def chunks():
+        for i in range(0, 19, 4):
+            yield wavs[i:i + 4]
+
+    got = eng.predict_clips_stream(chunks(), names=names)
+    assert got == want
+    # remainder group: 3 full batches with group=2 -> 1 grouped + 1 solo
+    got2 = eng.predict_clips_stream(
+        (wavs[i:i + 4] for i in range(0, 12, 4)), names=names[:12])
+    want2 = eng.predict_clips(wavs[:12], names=names[:12])
+    assert got2 == want2
+
+
+def test_stream_pull_format_full_matches_tracks():
+    """pull_format='full' (one launch returning packed masks for every
+    track, one fixed-shape pull) must produce identical events/XML to
+    the gather-based path, grouped and ungrouped."""
+    import jax
+    from sed_tpu.models.registry import get_model
+    cfg = AUDIO_16K
+    model = get_model('Cnn_9layers_Gru_FrameAtt', cfg)
+    wav0 = np.zeros((1, cfg.sample_rate * 5), np.float32)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, wav0,
+                           train=False)
+    rng = np.random.RandomState(77)
+    wavs = rng.uniform(-0.3, 0.3,
+                       (11, cfg.sample_rate * 5)).astype(np.float32)
+    names = [f'c{i}.wav' for i in range(11)]
+
+    base = SedInferenceEngine(model, variables, cfg, sample_duration=5,
+                              overlap=True, batch_size=4)
+    want = base.predict_clips(wavs, names=names)
+
+    def chunks():
+        for i in range(0, 11, 4):
+            yield wavs[i:i + 4]
+
+    for group in (1, 2):
+        eng = SedInferenceEngine(model, variables, cfg, sample_duration=5,
+                                 overlap=True, batch_size=4,
+                                 launch_group=group, pull_format='full')
+        got = eng.predict_clips_stream(chunks(), names=names)
+        assert got == want, f'group={group}'
+
+
 def test_predict_clips_chunking_matches_unchunked(engine):
     """The dispatch-ahead bound (chunked processing of huge inputs) must
     not change results."""
