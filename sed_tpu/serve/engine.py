@@ -804,6 +804,17 @@ class SedInferenceEngine:
                      if self._forward_scan_group is not None else 1)
             pend: List[np.ndarray] = []
 
+            def _start_pull(dev):
+                # kick off the device->host copy of what the consumer
+                # will pull (packed masks / track maxima) so it overlaps
+                # the next upload+launch instead of serializing behind
+                # them; framewise stays device-only in tracks mode
+                target = dev[0] if full else dev[1]
+                try:
+                    target.copy_to_host_async()
+                except Exception:
+                    pass
+
             def dispatch_one(chunk, valid) -> bool:
                 nonlocal i0
                 if full:
@@ -812,6 +823,7 @@ class SedInferenceEngine:
                 else:
                     dev = self._forward_scan(self.variables,
                                              jnp.asarray(chunk))
+                _start_pull(dev)
                 ok = _put(q_dev, (i0, valid) + dev)
                 i0 += valid
                 return ok
@@ -830,6 +842,7 @@ class SedInferenceEngine:
                     else:
                         dev = self._forward_scan_group(self.variables,
                                                        stacked)
+                    _start_pull(dev)
                     ok = _put(q_dev, (i0, group * bs) + dev)
                     i0 += group * bs
                 else:
