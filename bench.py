@@ -141,7 +141,13 @@ def main():
     engine.predict_clips(warm)
     # warm the exact stream-path programs (grouped / full-pull variants
     # are separate compilations)
-    if PULL == 'full':
+    if PULL == 'topk':
+        jax.block_until_ready(engine._forward_packed_topk(
+            engine.variables, jnp.asarray(warm)))
+        if GROUP > 1:
+            jax.block_until_ready(engine._forward_packed_topk_group(
+                engine.variables, jnp.asarray(np.stack([warm] * GROUP))))
+    elif PULL == 'full':
         jax.block_until_ready(engine._forward_packed_all(
             engine.variables, jnp.asarray(warm)))
         if GROUP > 1:

@@ -69,6 +69,16 @@ class SedInferenceEngine:
       mesh: optional jax.sharding.Mesh for data-parallel serving — the
         window batch is sharded over the ``data`` axis and parameters are
         replicated, scaling inference across chips over ICI.
+      launch_group: predict_clips_stream fuses this many full batches
+        into one device launch via lax.map (single-chip only) —
+        amortizes per-launch RPC latency on remote-attached devices.
+      pull_format: what the stream pulls off-device per batch group.
+        'tracks' (default): per-track maxima + gathers of the active
+        tracks; 'full': packed hi|lo crossing masks for every track in
+        one fixed-shape pull; 'topk': masks of the top-k
+        threshold-margin tracks (~140 KB) with an on-device all-tracks
+        fallback for saturation.  All three are exact and
+        interchangeable (tests/test_serve.py).
     """
 
     def __init__(self, model, variables, cfg: AudioConfig,
@@ -103,8 +113,13 @@ class SedInferenceEngine:
         # returns packed hi|lo masks for every track — one launch + one
         # fixed-shape pull per batch group (least RPC round trips; ~64 B
         # x 2 x classes per clip off-device)
-        assert pull_format in ('tracks', 'full')
+        assert pull_format in ('tracks', 'full', 'topk')
         self.pull_format = pull_format
+        # top-k capacity per BATCH for pull_format='topk' (x group for
+        # grouped launches); 2 active tracks per clip covers the bench
+        # distribution ~3x over.  Overflow (all pulled margins > 0) is
+        # detected host-side and falls back to the all-tracks pull.
+        self._topk_capacity = 2 * batch_size
 
         mulaw_table = jnp.asarray(audio_io.mulaw_decode_table())
 
@@ -213,6 +228,21 @@ class SedInferenceEngine:
 
         t_frames = len(coverage)
 
+        def _packed_from_fw(fw):
+            # (B, T, C) framewise -> (B, C, 2*tb) uint8 packed high|low
+            # crossing masks, contracting over time without an explicit
+            # (B,T,C)->(B,C,T) transpose (slow on this backend):
+            # einsum btc,tk->bck
+            tb_ = self._track_bytes
+            pack_w = jnp.asarray(self._pack_w)          # (tb*8, tb)
+            hi = (fw > self._high_dev[None, None, :]).astype(jnp.float32)
+            lo = (fw >= self._low_dev[None, None, :]).astype(jnp.float32)
+            hi = jnp.pad(hi, ((0, 0), (0, tb_ * 8 - fw.shape[1]), (0, 0)))
+            lo = jnp.pad(lo, ((0, 0), (0, tb_ * 8 - fw.shape[1]), (0, 0)))
+            hi_p = jnp.einsum('btc,tk->bck', hi, pack_w).astype(jnp.uint8)
+            lo_p = jnp.einsum('btc,tk->bck', lo, pack_w).astype(jnp.uint8)
+            return jnp.concatenate([hi_p, lo_p], axis=2)   # (B, C, 2tb)
+
         def _forward_packed_all(variables, wav):
             # one launch -> (B, C, 2*tb) uint8: packed high|low crossing
             # masks for EVERY (clip, class) track.  On a link where each
@@ -221,22 +251,55 @@ class SedInferenceEngine:
             # K pulls] with [forward, one pull]; the host derives the
             # active set from the hi masks (any bit set <=> max > high).
             fw, _tm = _forward_scan(variables, wav)
-            tb_ = self._track_bytes
-            pack_w = jnp.asarray(self._pack_w)          # (tb*8, tb)
-            hi = (fw > self._high_dev[None, None, :]).astype(jnp.float32)
-            lo = (fw >= self._low_dev[None, None, :]).astype(jnp.float32)
-            hi = jnp.pad(hi, ((0, 0), (0, tb_ * 8 - fw.shape[1]), (0, 0)))
-            lo = jnp.pad(lo, ((0, 0), (0, tb_ * 8 - fw.shape[1]), (0, 0)))
-            # contract over time without an explicit (B,T,C)->(B,C,T)
-            # transpose (slow on this backend): einsum btc,tk->bck
-            hi_p = jnp.einsum('btc,tk->bck', hi, pack_w).astype(jnp.uint8)
-            lo_p = jnp.einsum('btc,tk->bck', lo, pack_w).astype(jnp.uint8)
-            return jnp.concatenate([hi_p, lo_p], axis=2)   # (B, C, 2tb)
+            return _packed_from_fw(fw)
 
         def _forward_packed_all_group(variables, wavs):
             out = jax.lax.map(
                 lambda w: _forward_packed_all(variables, w), wavs)
             return out.reshape((-1,) + out.shape[2:])
+
+        def _forward_packed_topk(variables, wav):
+            # one launch -> (K, 2tb+8) uint8: packed hi|lo masks of the
+            # K tracks with the largest (max - high_threshold) margin,
+            # plus their flat index (int32) and margin (f32) bitcast
+            # into the same buffer.  Active tracks (margin > 0) are a
+            # prefix of the top-k order, so the host pulls ~140 KB once
+            # instead of the 3.2 KB/clip all-tracks buffer — the d2h
+            # link (~2-3 MB/s worst case) is the serving bottleneck
+            # after the RPC fusions (BENCHMARKS.md).
+            fw, tm = _forward_scan(variables, wav)
+            packed = _packed_from_fw(fw)                   # (B, C, 2tb)
+            margin = (tm - self._high_dev[None, :]).reshape(-1)
+            k = min(self._topk_capacity, margin.shape[0])
+            vals, idx = jax.lax.top_k(margin, k)
+            rows = packed.reshape((-1, packed.shape[-1]))[idx]
+            idx_b = jax.lax.bitcast_convert_type(
+                idx.astype(jnp.int32), jnp.uint8)          # (K, 4)
+            val_b = jax.lax.bitcast_convert_type(
+                vals.astype(jnp.float32), jnp.uint8)       # (K, 4)
+            tk = jnp.concatenate([rows, idx_b, val_b], axis=1)
+            # the all-tracks buffer stays ON DEVICE as the saturation
+            # fallback (pulled only when every top-k margin is > 0)
+            return tk, packed
+
+        def _forward_packed_topk_group(variables, wavs):
+            # grouped variant: top-k is taken over the WHOLE group
+            def one(w):
+                fw, tm = _forward_scan(variables, w)
+                return _packed_from_fw(fw), tm
+            packed, tm = jax.lax.map(one, wavs)
+            packed = packed.reshape((-1,) + packed.shape[2:])
+            tm = tm.reshape((-1, tm.shape[-1]))
+            margin = (tm - self._high_dev[None, :]).reshape(-1)
+            k = min(self._topk_capacity * wavs.shape[0], margin.shape[0])
+            vals, idx = jax.lax.top_k(margin, k)
+            rows = packed.reshape((-1, packed.shape[-1]))[idx]
+            idx_b = jax.lax.bitcast_convert_type(
+                idx.astype(jnp.int32), jnp.uint8)
+            val_b = jax.lax.bitcast_convert_type(
+                vals.astype(jnp.float32), jnp.uint8)
+            tk = jnp.concatenate([rows, idx_b, val_b], axis=1)
+            return tk, packed
 
         self._forward_scan = jax.jit(_forward_scan, **jit_kw)
         self._forward_scan_group = jax.jit(_forward_scan_group) \
@@ -244,6 +307,10 @@ class SedInferenceEngine:
         self._forward_packed_all = jax.jit(_forward_packed_all, **jit_kw)
         self._forward_packed_all_group = \
             jax.jit(_forward_packed_all_group) if mesh is None else None
+        self._forward_packed_topk = jax.jit(_forward_packed_topk,
+                                            **jit_kw)
+        self._forward_packed_topk_group = \
+            jax.jit(_forward_packed_topk_group) if mesh is None else None
         self._gather_tracks = jax.jit(_gather_tracks)
         self._gather_packed, self._track_bytes = \
             self._make_packed_gather(t_frames)
@@ -797,6 +864,7 @@ class SedInferenceEngine:
                 _put(q_chunks, None)
 
         full = self.pull_format == 'full'
+        topk = self.pull_format == 'topk'
 
         def _uploader():
             i0 = 0
@@ -806,10 +874,11 @@ class SedInferenceEngine:
 
             def _start_pull(dev):
                 # kick off the device->host copy of what the consumer
-                # will pull (packed masks / track maxima) so it overlaps
-                # the next upload+launch instead of serializing behind
-                # them; framewise stays device-only in tracks mode
-                target = dev[0] if full else dev[1]
+                # will pull (packed masks / top-k buffer / track maxima)
+                # so it overlaps the next upload+launch instead of
+                # serializing behind them; framewise / the all-tracks
+                # fallback stay device-only
+                target = dev[0] if (full or topk) else dev[1]
                 try:
                     target.copy_to_host_async()
                 except Exception:
@@ -817,7 +886,10 @@ class SedInferenceEngine:
 
             def dispatch_one(chunk, valid) -> bool:
                 nonlocal i0
-                if full:
+                if topk:
+                    dev = self._forward_packed_topk(self.variables,
+                                                    jnp.asarray(chunk))
+                elif full:
                     dev = (self._forward_packed_all(self.variables,
                                                     jnp.asarray(chunk)),)
                 else:
@@ -836,7 +908,10 @@ class SedInferenceEngine:
                     return True
                 if group > 1 and len(pend) == group:
                     stacked = jnp.asarray(np.stack(pend))
-                    if full:
+                    if topk:
+                        dev = self._forward_packed_topk_group(
+                            self.variables, stacked)
+                    elif full:
                         dev = (self._forward_packed_all_group(
                             self.variables, stacked),)
                     else:
@@ -888,6 +963,34 @@ class SedInferenceEngine:
                 item = q_dev.get()
                 if item is None:
                     break
+                if topk:
+                    i0, valid, tk_dev, all_dev = item
+                    per_clip.extend([] for _ in range(valid))
+                    buf = np.asarray(tk_dev)              # (K, 2tb+8)
+                    tb2 = 2 * tb
+                    idx = np.ascontiguousarray(
+                        buf[:, tb2:tb2 + 4]).view(np.int32).ravel()
+                    vals = np.ascontiguousarray(
+                        buf[:, tb2 + 4:tb2 + 8]).view(np.float32).ravel()
+                    nC = len(self.labels)
+                    act = vals > 0.0
+                    if act.all() and buf.shape[0] < valid * nC:
+                        # capacity saturated — decode everything from
+                        # the on-device all-tracks fallback buffer
+                        fb = np.asarray(all_dev)[:valid]
+                        act_n, act_c = np.nonzero(
+                            fb[:, :, :tb].any(axis=2))
+                        self._decode_tracks_into(per_clip, names, p,
+                                                 fb[act_n, act_c],
+                                                 act_n, act_c, i0)
+                    else:
+                        sel = np.nonzero(act & (idx < valid * nC))[0]
+                        # row-major track order, like the other paths
+                        sel = sel[np.argsort(idx[sel], kind='stable')]
+                        self._decode_tracks_into(
+                            per_clip, names, p, buf[sel, :tb2],
+                            idx[sel] // nC, idx[sel] % nC, i0)
+                    continue
                 if full:
                     i0, valid, packed_dev = item
                     per_clip.extend([] for _ in range(valid))

@@ -216,11 +216,22 @@ def test_stream_pull_format_full_matches_tracks():
             yield wavs[i:i + 4]
 
     for group in (1, 2):
-        eng = SedInferenceEngine(model, variables, cfg, sample_duration=5,
-                                 overlap=True, batch_size=4,
-                                 launch_group=group, pull_format='full')
-        got = eng.predict_clips_stream(chunks(), names=names)
-        assert got == want, f'group={group}'
+        for pull in ('full', 'topk'):
+            eng = SedInferenceEngine(model, variables, cfg,
+                                     sample_duration=5, overlap=True,
+                                     batch_size=4, launch_group=group,
+                                     pull_format=pull)
+            got = eng.predict_clips_stream(chunks(), names=names)
+            assert got == want, f'group={group} pull={pull}'
+
+    # top-k saturation: capacity 1 forces the on-device all-tracks
+    # fallback; results still exact
+    eng = SedInferenceEngine(model, variables, cfg, sample_duration=5,
+                             overlap=True, batch_size=4,
+                             pull_format='topk')
+    eng._topk_capacity = 1
+    got = eng.predict_clips_stream(chunks(), names=names)
+    assert got == want
 
 
 def test_predict_clips_chunking_matches_unchunked(engine):
