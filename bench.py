@@ -54,9 +54,16 @@ BASELINE_CLIPS_PER_SEC = 21.0
 CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'tools',
                     'bench_checkpoint.npz')
 
-# tone bands of the trained checkpoint's classes
-# (tools/synthetic_learning_check.py BANDS)
-BANDS = [(300, 500), (800, 1200), (2000, 2600), (4000, 5000)]
+def _bands():
+    # the trained checkpoint's class tone bands — import from the tool
+    # that trained it so bench clips always match the checkpoint
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'tools'))
+    from synthetic_learning_check import BANDS as bands
+    return bands
+
+
+BANDS = _bands()
 
 
 def make_test_clips(n, sr, seconds=5, seed=0):
@@ -138,24 +145,11 @@ def main():
         warm = audio_io.mulaw_encode(clips[:BATCH])
     else:
         warm = (np.clip(clips[:BATCH], -1, 1) * 32767).astype(np.int16)
-    engine.predict_clips(warm)
-    # warm the exact stream-path programs (grouped / full-pull variants
-    # are separate compilations)
-    if PULL == 'topk':
-        jax.block_until_ready(engine._forward_packed_topk(
-            engine.variables, jnp.asarray(warm)))
-        if GROUP > 1:
-            jax.block_until_ready(engine._forward_packed_topk_group(
-                engine.variables, jnp.asarray(np.stack([warm] * GROUP))))
-    elif PULL == 'full':
-        jax.block_until_ready(engine._forward_packed_all(
-            engine.variables, jnp.asarray(warm)))
-        if GROUP > 1:
-            jax.block_until_ready(engine._forward_packed_all_group(
-                engine.variables, jnp.asarray(np.stack([warm] * GROUP))))
-    elif GROUP > 1:      # the grouped lax.map launch is its own program
-        jax.block_until_ready(engine._forward_scan_group(
-            engine.variables, jnp.asarray(np.stack([warm] * GROUP))))
+    engine.warmup(warm)   # compile the configured stream-path programs
+    # one warm pass through the wire decode + event decode host caches
+    engine.predict_clips_stream(iter([warm]),
+                                names=[f'w{i}' for i in
+                                       range(warm.shape[0])])
 
     # The serving link's throughput fluctuates over time; take the best
     # of N passes to reduce measurement noise.  File decode streams

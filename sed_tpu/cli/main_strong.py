@@ -81,7 +81,8 @@ def train(args):
     # every process draws the same seeded global stream and loads only
     # its slice (no-op single-process)
     def _train_loader(h5, bs):
-        sampler = distributed.HostShardedSampler(TrainSampler(h5, bs))
+        sampler = distributed.HostShardedSampler(TrainSampler(h5, bs),
+                                                 even_shares=mixup)
         return DataLoader(train_dataset, sampler, num_workers=workers)
 
     weak_iter = cycle_iteration(_train_loader(weak_h5, weak_bs))

@@ -10,6 +10,7 @@ FFT-based gold in tests.
 
 from __future__ import annotations
 
+import functools as _functools
 import numpy as np
 
 # ---------------------------------------------------------------------------
@@ -152,3 +153,17 @@ def mel_filterbank(sr: int, n_fft: int, n_mels: int = 64,
         raise ValueError(f'unsupported norm: {norm}')
 
     return weights.T.astype(np.float64)                    # (bins, n_mels)
+
+
+@_functools.lru_cache(maxsize=8)
+def frontend_arrays(cfg) -> tuple:
+    """Precomputed (stft_mat, mel_mat) float32 numpy constants for an
+    AudioConfig — the single builder shared by the XLA frontend
+    (models/base.py) and the fused Pallas kernel (ops/logmel_kernel.py)
+    so the two paths can never diverge."""
+    stft_mat = stft_matrices(cfg.window_size, cfg.window_size,
+                             cfg.window).astype(np.float32)
+    mel_mat = mel_filterbank(cfg.sample_rate, cfg.window_size,
+                             cfg.mel_bins, cfg.fmin,
+                             cfg.fmax).astype(np.float32)
+    return stft_mat, mel_mat

@@ -27,15 +27,9 @@ from sed_tpu.dsp import filters
 from sed_tpu.dsp import frontend as fe
 
 
-@functools.lru_cache(maxsize=8)
-def _frontend_arrays(cfg: AudioConfig):
-    """Precomputed (stft_mat, mel_mat) as float32 numpy constants."""
-    stft_mat = filters.stft_matrices(cfg.window_size, cfg.window_size,
-                                     cfg.window).astype(np.float32)
-    mel_mat = filters.mel_filterbank(cfg.sample_rate, cfg.window_size,
-                                     cfg.mel_bins, cfg.fmin,
-                                     cfg.fmax).astype(np.float32)
-    return stft_mat, mel_mat
+# single shared builder (dsp.filters) keeps the XLA and Pallas
+# frontends on identical matrices; old name kept for callers
+_frontend_arrays = filters.frontend_arrays
 
 
 class SedFeatureBase(nn.Module):

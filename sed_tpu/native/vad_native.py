@@ -26,20 +26,38 @@ _lock = threading.Lock()
 _build_failed = False
 
 
+def _compile(out_path: str) -> None:
+    # build into a private temp file and rename into place: os.rename is
+    # atomic, so concurrent processes (test workers, multi-host ranks on
+    # a shared filesystem) never dlopen a half-written ELF
+    tmp = f'{out_path}.tmp.{os.getpid()}'
+    try:
+        subprocess.run(
+            ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
+             _SRC, '-o', tmp],
+            check=True, capture_output=True)
+        os.rename(tmp, out_path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
 def _build() -> Optional[ctypes.CDLL]:
     global _build_failed
-    if not os.path.isfile(_LIB_PATH) or (
-            os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+    try:
+        if not os.path.isfile(_LIB_PATH) or (
+                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+            _compile(_LIB_PATH)
         try:
-            subprocess.run(
-                ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
-                 _SRC, '-o', _LIB_PATH],
-                check=True, capture_output=True)
-        except (OSError, subprocess.CalledProcessError) as exc:
-            logging.warning('native vad decoder build failed: %s', exc)
-            _build_failed = True
-            return None
-    lib = ctypes.CDLL(_LIB_PATH)
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            # stale/foreign-arch binary on disk: rebuild once and retry
+            _compile(_LIB_PATH)
+            lib = ctypes.CDLL(_LIB_PATH)
+    except (OSError, subprocess.CalledProcessError) as exc:
+        logging.warning('native vad decoder unavailable: %s', exc)
+        _build_failed = True
+        return None
     lib.sed_decode_tracks.restype = ctypes.c_int
     lib.sed_decode_tracks.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p,

@@ -42,14 +42,7 @@ def _logmel_kernel(frames_ref, stft_ref, mel_ref, out_ref, *, n_bins,
     out_ref[:] = 10.0 * jnp.log10(jnp.maximum(mel, amin)) - db_shift
 
 
-@functools.lru_cache(maxsize=8)
-def _matrices(cfg: AudioConfig):
-    stft_mat = filters.stft_matrices(cfg.window_size, cfg.window_size,
-                                     cfg.window).astype(np.float32)
-    mel_mat = filters.mel_filterbank(cfg.sample_rate, cfg.window_size,
-                                     cfg.mel_bins, cfg.fmin,
-                                     cfg.fmax).astype(np.float32)
-    return stft_mat, mel_mat
+_matrices = filters.frontend_arrays   # shared with the XLA frontend
 
 
 def fused_logmel(wav: jnp.ndarray, cfg: AudioConfig, tile_rows: int = 256,
@@ -62,6 +55,9 @@ def fused_logmel(wav: jnp.ndarray, cfg: AudioConfig, tile_rows: int = 256,
     """
     if interpret is None:
         interpret = jax.default_backend() == 'cpu'
+    assert cfg.top_db is None, (
+        'fused_logmel does not implement the top_db clamp; use the XLA '
+        'frontend (frontend_impl="xla") for configs with top_db set')
     stft_mat, mel_mat = _matrices(cfg)
     n_fft = cfg.window_size
     n_bins = n_fft // 2 + 1

@@ -76,14 +76,22 @@ class HostShardedSampler:
     """
 
     def __init__(self, sampler, process_index: Optional[int] = None,
-                 process_count: Optional[int] = None):
-        if process_count is None:
+                 process_count: Optional[int] = None,
+                 even_shares: bool = False):
+        if process_index is None:
             import jax
             process_index = jax.process_index()
+        if process_count is None:
+            import jax
             process_count = jax.process_count()
         self.sampler = sampler
         self.process_index = int(process_index)
         self.process_count = int(process_count)
+        # pair-based augmentation (mixup) consumes consecutive sample
+        # PAIRS with globally drawn (lam, 1-lam) lambdas: an odd
+        # per-host share would split a pair across hosts and misalign
+        # every following lambda slice
+        self.even_shares = even_shares
 
     def __iter__(self) -> Iterator[List[dict]]:
         k, n = self.process_index, self.process_count
@@ -95,4 +103,8 @@ class HostShardedSampler:
             assert share * n == len(batch_meta), (
                 f'global batch {len(batch_meta)} must divide over '
                 f'{n} processes')
+            assert not (self.even_shares and share % 2), (
+                f'per-host share {share} must be even to keep mixup '
+                f'pairs host-local (global batch {len(batch_meta)}, '
+                f'{n} processes)')
             yield batch_meta[k * share:(k + 1) * share]

@@ -645,6 +645,31 @@ class SedInferenceEngine:
         device->host transfer shape, no matter the event density."""
         return max(64, self.batch_size)
 
+    def warmup(self, example: Optional[np.ndarray] = None) -> None:
+        """Compile the exact programs the configured stream path uses
+        (forward variant for this pull_format, grouped variant when
+        launch_group > 1) so the first timed/served batch is not a
+        multi-second remote compile.  Pass an ``example`` batch in the
+        wire format you will serve (dtype/width select the device decode
+        program); defaults to float32 PCM.
+        """
+        z = example if example is not None else np.zeros(
+            (self.batch_size, self.window_samples), np.float32)
+        assert z.shape[0] == self.batch_size, (z.shape, self.batch_size)
+        dev = jnp.asarray(z)
+        if self.pull_format == 'topk':
+            fns = [self._forward_packed_topk,
+                   self._forward_packed_topk_group]
+        elif self.pull_format == 'full':
+            fns = [self._forward_packed_all,
+                   self._forward_packed_all_group]
+        else:
+            fns = [self._forward_scan, self._forward_scan_group]
+        jax.block_until_ready(fns[0](self.variables, dev))
+        if self.launch_group > 1 and fns[1] is not None:
+            g = jnp.asarray(np.stack([z] * self.launch_group))
+            jax.block_until_ready(fns[1](self.variables, g))
+
     def _decode_tracks_into(self, per_clip: List[List[dict]],
                             names: Optional[List[str]], p: dict,
                             tracks: np.ndarray, act_n: np.ndarray,

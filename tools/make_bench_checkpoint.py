@@ -36,8 +36,11 @@ def main():
     if not os.path.isdir(dataset):
         build_dataset(dataset, {'weak_training': 48, 'strong_training': 48,
                                 'strong_validation': 16, 'testing': 16})
-        for split in ('weak_training', 'strong_training',
-                      'strong_validation', 'testing'):
+    for split in ('weak_training', 'strong_training',
+                  'strong_validation', 'testing'):
+        # per-split completeness: a killed earlier run can resume
+        if not os.path.isfile(os.path.join(
+                ws, 'hdf5s', f'{split}_logmel_16k.h5')):
             features_cli.main(['pack_audio_files_to_hdf5',
                                '--dataset_dir', dataset, '--workspace', ws,
                                '--data_type', split, '--audio_16k'])
@@ -51,11 +54,10 @@ def main():
 
     from sed_tpu.train.checkpoint import best_checkpoint_path, \
         load_variables
-    ckpt_root = os.path.join(
-        ws, 'checkpoints', 'main_strong', 'holdout_fold=1',
-        'model_type=Cnn_9layers_Gru_FrameAtt', 'loss_type=clip_bce',
-        'augmentation=specaugment_mixup', 'batch_size=4',
-        'best_logmel_16k')
+    from sed_tpu.utils.paths import Workspace
+    ckpt_root = Workspace(
+        ws, augmentation='specaugment_mixup',
+        batch_size=4).checkpoint_path('logmel', '16k')
     variables = load_variables(best_checkpoint_path(ckpt_root))
     save_variables_npz(OUT, variables)
     print(f'wrote {OUT} ({os.path.getsize(OUT) / 1e6:.1f} MB)')
