@@ -27,8 +27,8 @@ def _build_engine(args, cfg, ws):
         model, variables, cfg, sample_duration=args.sample_duration,
         overlap=args.overlap, overlap_value=args.overlap_value,
         sed_params=sed_params, batch_size=args.batch_size,
-        launch_group=getattr(args, 'launch_group', 1),
-        pull_format=getattr(args, 'pull_format', 'tracks'))
+        launch_group=getattr(args, 'launch_group', 2),
+        pull_format=getattr(args, 'pull_format', None))
 
 
 def _write_xml_for(out_dir, name, events, engine, duration):
@@ -174,15 +174,17 @@ def get_parser():
                              help='batch the windows of this many files '
                                   'into shared device forwards (0 = the '
                                   'reference\'s one-file-at-a-time loop)')
-            sub.add_argument('--launch_group', type=int, default=1,
+            sub.add_argument('--launch_group', type=int, default=2,
                              help='fuse this many batches per device '
                                   'launch in streaming APIs (amortizes '
                                   'per-launch latency on remote-attached '
-                                  'devices)')
-            sub.add_argument('--pull_format', type=str, default='tracks',
+                                  'devices; default 2 = measured fastest, '
+                                  'BENCHMARKS.md)')
+            sub.add_argument('--pull_format', type=str, default=None,
                              choices=['tracks', 'full', 'topk'],
                              help='what streaming inference pulls '
-                                  'off-device per batch (see '
+                                  'off-device per batch (default: the '
+                                  "measured-fastest 'full'; see "
                                   'SedInferenceEngine docs)')
         if mode == 'predict_asr':
             sub.add_argument('--asr_language', type=str, default='en-SG')

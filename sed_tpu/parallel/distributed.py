@@ -34,28 +34,20 @@ def maybe_initialize() -> bool:
     """
     import jax
 
-    coord = os.environ.get('JAX_COORDINATOR_ADDRESS')
-    nproc = (os.environ.get('JAX_NUM_PROCESSES')
-             or os.environ.get('JAX_PROCESS_COUNT'))
-    pid = (os.environ.get('JAX_PROCESS_ID')
-           or os.environ.get('JAX_PROCESS_INDEX'))
-    if os.environ.get('SED_TPU_MULTIHOST') == '1':
-        jax.distributed.initialize()     # TPU-pod auto detection
-        logging.info('jax.distributed initialized from TPU environment: '
-                     'process %d of %d', jax.process_index(),
-                     jax.process_count())
-        return True
-    have = {'JAX_COORDINATOR_ADDRESS': coord, 'JAX_NUM_PROCESSES': nproc,
-            'JAX_PROCESS_ID': pid}
-    missing = [k for k, v in have.items() if v is None or v == '']
-    if missing and len(missing) < len(have):
-        # a partially-wired launch must not silently run every host as an
-        # independent single-process copy of the training job
-        raise RuntimeError(
-            'multi-host launch is partially configured: '
-            f'{[k for k in have if k not in missing]} set but {missing} '
-            'missing — set all three (or use SED_TPU_MULTIHOST=1 on TPU '
-            'pods)')
+    def _env(*names):
+        """First set env var among aliases -> (value, actual name set)."""
+        for name in names:
+            v = os.environ.get(name)
+            if v is not None and v != '':
+                return v, name
+        return None, names[0]
+
+    coord, coord_name = _env('JAX_COORDINATOR_ADDRESS')
+    nproc, nproc_name = _env('JAX_NUM_PROCESSES', 'JAX_PROCESS_COUNT')
+    pid, pid_name = _env('JAX_PROCESS_ID', 'JAX_PROCESS_INDEX')
+    # an operator's fully explicit wiring takes precedence over
+    # SED_TPU_MULTIHOST auto-detection: a pod launcher that exports both
+    # gets exactly the coordinator/count/id it asked for
     if coord and nproc is not None and pid is not None:
         jax.distributed.initialize(coordinator_address=coord,
                                    num_processes=int(nproc),
@@ -63,6 +55,23 @@ def maybe_initialize() -> bool:
         logging.info('jax.distributed initialized: process %s of %s '
                      '(coordinator %s)', pid, nproc, coord)
         return True
+    if os.environ.get('SED_TPU_MULTIHOST') == '1':
+        jax.distributed.initialize()     # TPU-pod auto detection
+        logging.info('jax.distributed initialized from TPU environment: '
+                     'process %d of %d', jax.process_index(),
+                     jax.process_count())
+        return True
+    have = {coord_name: coord, nproc_name: nproc, pid_name: pid}
+    missing = [k for k, v in have.items() if v is None or v == '']
+    if missing and len(missing) < len(have):
+        # a partially-wired launch must not silently run every host as an
+        # independent single-process copy of the training job; the error
+        # names the alias env vars the user actually set
+        raise RuntimeError(
+            'multi-host launch is partially configured: '
+            f'{[k for k in have if k not in missing]} set but {missing} '
+            'missing — set all three (or use SED_TPU_MULTIHOST=1 on TPU '
+            'pods)')
     return False
 
 

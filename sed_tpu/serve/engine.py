@@ -18,6 +18,7 @@ import math
 import os
 import queue
 import threading
+import time
 from typing import Iterable, List, Optional, Sequence, Tuple
 
 import jax
@@ -73,9 +74,11 @@ class SedInferenceEngine:
         into one device launch via lax.map (single-chip only) —
         amortizes per-launch RPC latency on remote-attached devices.
       pull_format: what the stream pulls off-device per batch group.
-        'tracks' (default): per-track maxima + gathers of the active
-        tracks; 'full': packed hi|lo crossing masks for every track in
-        one fixed-shape pull; 'topk': masks of the top-k
+        'full' (default): packed hi|lo crossing masks for every track in
+        one fixed-shape pull — the measured-fastest config on the
+        RPC-latency-bound serving link (BENCHMARKS.md); 'tracks':
+        per-track maxima + gathers of the active tracks (default when
+        gather_format='float'); 'topk': masks of the top-k
         threshold-margin tracks (~140 KB) with an on-device all-tracks
         fallback for saturation.  All three are exact and
         interchangeable (tests/test_serve.py).
@@ -88,7 +91,8 @@ class SedInferenceEngine:
                  batch_size: int = 32,
                  labels: Sequence[str] = sed_config.LABELS,
                  mesh=None, gather_format: str = 'packed',
-                 launch_group: int = 1, pull_format: str = 'tracks'):
+                 launch_group: int = 2,
+                 pull_format: Optional[str] = None):
         self.model = model
         self.variables = variables
         self.cfg = cfg
@@ -101,6 +105,17 @@ class SedInferenceEngine:
         self.window_samples = cfg.sample_rate * sample_duration
         assert gather_format in ('packed', 'float')
         self.gather_format = gather_format
+        # default to the measured-fastest config (BENCHMARKS.md: 'full'
+        # beats 'tracks' on the RPC-latency-bound serving link and ties
+        # it locally); 'float' gathers need the per-track pull path
+        if pull_format is None:
+            pull_format = 'tracks' if gather_format == 'float' else 'full'
+        # 'full'/'topk' pulls are packed uint8 hi|lo masks; the float
+        # decode branch would misread those bytes as probabilities
+        assert not (pull_format in ('full', 'topk')
+                    and gather_format == 'float'), (
+            "pull_format='full'/'topk' ships packed crossing masks and "
+            "requires gather_format='packed'")
         # bulk APIs dispatch at most this many forward batches before
         # pulling results (bounds live HBM buffers on huge inputs)
         self.dispatch_ahead_batches = 64
@@ -300,6 +315,12 @@ class SedInferenceEngine:
                 vals.astype(jnp.float32), jnp.uint8)
             tk = jnp.concatenate([rows, idx_b, val_b], axis=1)
             return tk, packed
+
+        # unjitted closures, reused by the resident-buffer pipeline
+        # (predict_clips_resident jits one program per batch count)
+        self._forward_scan_fn = _forward_scan
+        self._packed_from_fw_fn = _packed_from_fw
+        self._resident_cache: dict = {}
 
         self._forward_scan = jax.jit(_forward_scan, **jit_kw)
         self._forward_scan_group = jax.jit(_forward_scan_group) \
@@ -726,6 +747,200 @@ class SedInferenceEngine:
                     'offset': fin / fps,
                     'event_label': self.labels[c]})
 
+    def _decode_topk_into(self, per_clip: List[List[dict]],
+                          names: Optional[List[str]], p: dict,
+                          buf: np.ndarray, all_dev, i0: int,
+                          valid: int) -> None:
+        """Decode a pulled top-k buffer (rows ``[packed 2tb | idx i32 |
+        margin f32]``) into per-clip events; pulls the on-device
+        all-tracks fallback only when capacity saturated."""
+        tb = self._track_bytes
+        tb2 = 2 * tb
+        idx = np.ascontiguousarray(
+            buf[:, tb2:tb2 + 4]).view(np.int32).ravel()
+        vals = np.ascontiguousarray(
+            buf[:, tb2 + 4:tb2 + 8]).view(np.float32).ravel()
+        nC = len(self.labels)
+        act = vals > 0.0
+        # saturation must be judged against the LAUNCH's total track
+        # count (pads included): zero-pad clips' tracks compete in
+        # lax.top_k, so a final short chunk with k >= valid*nC can still
+        # have real active tracks displaced by pad tracks when k < B*nC
+        n_launched = all_dev.shape[0]
+        if act.all() and buf.shape[0] < n_launched * nC:
+            # capacity saturated — decode everything from the on-device
+            # all-tracks fallback buffer
+            fb = np.asarray(all_dev)[:valid]
+            act_n, act_c = np.nonzero(fb[:, :, :tb].any(axis=2))
+            self._decode_tracks_into(per_clip, names, p, fb[act_n, act_c],
+                                     act_n, act_c, i0)
+        else:
+            sel = np.nonzero(act & (idx < valid * nC))[0]
+            # row-major track order, like the other paths
+            sel = sel[np.argsort(idx[sel], kind='stable')]
+            self._decode_tracks_into(per_clip, names, p, buf[sel, :tb2],
+                                     idx[sel] // nC, idx[sel] % nC, i0)
+
+    # ------------------------------------------------------------------
+    # resident-buffer path: fewest tunnel round trips per pass
+    # ------------------------------------------------------------------
+
+    def _resident_pipeline(self, n_batches: int, wire_width: int,
+                           dtype, chunk_rows: Tuple[int, ...]):
+        """One jitted program per (batch count, wire, upload split):
+        concatenate the uploaded chunks, reshape into forward batches,
+        lax.map the packed forward over ALL of them — a single device
+        launch for the whole pass."""
+        key = (n_batches, wire_width, np.dtype(dtype).str, chunk_rows,
+               self.pull_format == 'topk')
+        if key in self._resident_cache:
+            return self._resident_cache[key]
+        bs = self.batch_size
+        topk = self.pull_format == 'topk'
+        forward = self._forward_scan_fn
+        packed_from_fw = self._packed_from_fw_fn
+
+        def fn(variables, chunks):
+            buf = (jnp.concatenate(chunks, axis=0)
+                   if len(chunks) > 1 else chunks[0])
+            wavs = buf.reshape(n_batches, bs, wire_width)
+
+            def one(w):
+                fw, tm = forward(variables, w)
+                return packed_from_fw(fw), tm
+
+            packed, tm = jax.lax.map(one, wavs)
+            packed = packed.reshape((-1,) + packed.shape[2:])
+            if not topk:
+                return packed
+            tm = tm.reshape((-1, tm.shape[-1]))
+            margin = (tm - self._high_dev[None, :]).reshape(-1)
+            k = min(self._topk_capacity_resident(n_batches * bs),
+                    margin.shape[0])
+            vals, idx = jax.lax.top_k(margin, k)
+            rows = packed.reshape((-1, packed.shape[-1]))[idx]
+            idx_b = jax.lax.bitcast_convert_type(
+                idx.astype(jnp.int32), jnp.uint8)
+            val_b = jax.lax.bitcast_convert_type(
+                vals.astype(jnp.float32), jnp.uint8)
+            tk = jnp.concatenate([rows, idx_b, val_b], axis=1)
+            return tk, packed
+
+        entry = jax.jit(fn)
+        self._resident_cache[key] = entry
+        return entry
+
+    def _topk_capacity_resident(self, n_clips: int) -> int:
+        """Top-k capacity for a resident pass: 2 active tracks per clip
+        covers the bench distribution ~3x over (same policy as the
+        per-batch stream capacity)."""
+        return 2 * n_clips
+
+    def predict_clips_resident(self, wavs: np.ndarray,
+                               names: Optional[List[str]] = None,
+                               upload_threads: int = 2,
+                               telemetry: Optional[dict] = None
+                               ) -> Tuple[List[List[dict]], List[str]]:
+        """N fixed-length clips -> per-clip (events, XML) in the minimum
+        number of tunnel round trips.
+
+        The streaming path pays ~8 RPCs per 2048-clip pass on a
+        remote-attached device (4 uploads + 2 grouped launches + 2
+        pulls, each ~0.5 s of link latency — BENCHMARKS.md).  This path
+        collapses that to ~``upload_threads`` + 2:
+
+          1. the WHOLE wire buffer is put on device once, split into
+             ``upload_threads`` concurrent ``jax.device_put`` calls
+             (PJRT releases the GIL during the transfer, so the chunks'
+             RPC latencies overlap);
+          2. ONE jitted launch lax.maps the packed forward over every
+             batch of the resident buffer;
+          3. ONE fixed-shape pull brings back the packed crossing masks
+             (all tracks, or the top-k subset with an on-device
+             all-tracks fallback when ``pull_format='topk'``).
+
+        Results are identical to ``predict_clips`` (tests/test_serve.py).
+        ``telemetry``, when given a dict, is filled with phase wall times
+        and transfer byte counts (upload_s/launch_s/pull_s/decode_s,
+        bytes_h2d/bytes_d2h, rpcs).  Single-device only (the mesh path
+        shards per batch; use ``predict_clips`` there).
+        """
+        assert self.mesh is None, (
+            'predict_clips_resident is single-device; use predict_clips '
+            'with a mesh')
+        n, width = wavs.shape
+        if names is None:
+            names = [f'clip{i}.wav' for i in range(n)]
+        bs = self.batch_size
+        n_batches = -(-n // bs)
+        rows = n_batches * bs
+        if rows > n:
+            wavs = np.concatenate(
+                [wavs, np.zeros((rows - n, width), wavs.dtype)], axis=0)
+        k = max(1, min(int(upload_threads), rows))
+        base, extra = divmod(rows, k)
+        sizes = tuple(base + (1 if i < extra else 0) for i in range(k))
+        fn = self._resident_pipeline(n_batches, width, wavs.dtype, sizes)
+
+        t0 = time.time()
+        chunks: List[Optional[jax.Array]] = [None] * k
+        bounds = np.cumsum((0,) + sizes)
+
+        def _upload(i):
+            chunks[i] = jax.device_put(wavs[bounds[i]:bounds[i + 1]])
+
+        if k == 1:
+            _upload(0)
+        else:
+            ths = [threading.Thread(target=_upload, args=(i,))
+                   for i in range(k)]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+        t1 = time.time()
+
+        topk = self.pull_format == 'topk'
+        out = fn(self.variables, tuple(chunks))
+        target = out[0] if topk else out
+        try:
+            target.copy_to_host_async()
+        except Exception:
+            pass
+        t2 = time.time()
+
+        p = self.sed_params.per_class(len(self.labels)) \
+            if hasattr(self.sed_params, 'per_class') else self.sed_params
+        per_clip: List[List[dict]] = [[] for _ in range(n)]
+        buf = np.asarray(target)
+        pulled_bytes = buf.nbytes
+        t3 = time.time()
+        if topk:
+            self._decode_topk_into(per_clip, names, p, buf, out[1], 0, n)
+        else:
+            tb = self._track_bytes
+            buf = buf[:n]
+            act_n, act_c = np.nonzero(buf[:, :, :tb].any(axis=2))
+            self._decode_tracks_into(per_clip, names, p, buf[act_n, act_c],
+                                     act_n, act_c, 0)
+        xmls = [
+            xml_writer.events_to_xml(
+                sorted(evs, key=lambda e: e['onset']), names[i],
+                fallback_span=(0, self.sample_duration))
+            for i, evs in enumerate(per_clip)
+        ]
+        t4 = time.time()
+        if telemetry is not None:
+            telemetry.update(
+                upload_s=round(t1 - t0, 4),
+                launch_s=round(t2 - t1, 4),
+                pull_s=round(t3 - t2, 4),
+                decode_s=round(t4 - t3, 4),
+                bytes_h2d=int(rows) * int(width) * wavs.dtype.itemsize,
+                bytes_d2h=int(pulled_bytes),
+                rpcs=k + 2, n_batches=n_batches)
+        return per_clip, xmls
+
     def predict_clips(self, wavs: np.ndarray,
                       names: Optional[List[str]] = None
                       ) -> Tuple[List[List[dict]], List[str]]:
@@ -991,30 +1206,9 @@ class SedInferenceEngine:
                 if topk:
                     i0, valid, tk_dev, all_dev = item
                     per_clip.extend([] for _ in range(valid))
-                    buf = np.asarray(tk_dev)              # (K, 2tb+8)
-                    tb2 = 2 * tb
-                    idx = np.ascontiguousarray(
-                        buf[:, tb2:tb2 + 4]).view(np.int32).ravel()
-                    vals = np.ascontiguousarray(
-                        buf[:, tb2 + 4:tb2 + 8]).view(np.float32).ravel()
-                    nC = len(self.labels)
-                    act = vals > 0.0
-                    if act.all() and buf.shape[0] < valid * nC:
-                        # capacity saturated — decode everything from
-                        # the on-device all-tracks fallback buffer
-                        fb = np.asarray(all_dev)[:valid]
-                        act_n, act_c = np.nonzero(
-                            fb[:, :, :tb].any(axis=2))
-                        self._decode_tracks_into(per_clip, names, p,
-                                                 fb[act_n, act_c],
-                                                 act_n, act_c, i0)
-                    else:
-                        sel = np.nonzero(act & (idx < valid * nC))[0]
-                        # row-major track order, like the other paths
-                        sel = sel[np.argsort(idx[sel], kind='stable')]
-                        self._decode_tracks_into(
-                            per_clip, names, p, buf[sel, :tb2],
-                            idx[sel] // nC, idx[sel] % nC, i0)
+                    self._decode_topk_into(per_clip, names, p,
+                                           np.asarray(tk_dev), all_dev,
+                                           i0, valid)
                     continue
                 if full:
                     i0, valid, packed_dev = item

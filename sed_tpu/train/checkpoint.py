@@ -8,10 +8,20 @@ Reference ``.pth`` files remain loadable through
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Optional
 
 import orbax.checkpoint as ocp
+
+
+def _is_orbax_checkpoint(path: str) -> bool:
+    """True when ``path`` holds an actual saved checkpoint (not just any
+    non-empty directory) — StandardCheckpointer always writes these
+    metadata files at the checkpoint root."""
+    return any(os.path.exists(os.path.join(path, name))
+               for name in ('_CHECKPOINT_METADATA', '_METADATA',
+                            'manifest.ocdbt'))
 
 
 def save_checkpoint(path: str, state) -> None:
@@ -62,7 +72,7 @@ def best_checkpoint_path(ckpt_dir: str) -> Optional[str]:
              if d.startswith('iter_') and d[len('iter_'):].isdigit()))
         if iters:
             return os.path.join(ckpt_dir, f'iter_{iters[-1]}')
-        if os.listdir(ckpt_dir):     # old-style flat Orbax dir
+        if _is_orbax_checkpoint(ckpt_dir):  # old-style flat Orbax dir
             return ckpt_dir
     return None
 
@@ -77,10 +87,16 @@ def resume_checkpoint_path(ckpt_dir: str, iteration: int) -> str:
     have = sorted(int(d[len('iter_'):]) for d in
                   (os.listdir(ckpt_dir) if os.path.isdir(ckpt_dir) else [])
                   if d.startswith('iter_') and d[len('iter_'):].isdigit())
-    if not have and os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir):
+    if not have and _is_orbax_checkpoint(ckpt_dir):
         # old-style flat Orbax dir (pre step-tagged lineage): the single
         # saved state is the only resume candidate, like the reference's
-        # single best_*.pth
+        # single best_*.pth.  A directory with neither iter_* children
+        # nor Orbax metadata (a typo'd / junk path) falls through to the
+        # clear FileNotFoundError instead.
+        logging.warning(
+            'resume: %s is a legacy flat checkpoint with no iteration '
+            'lineage — ignoring the requested iteration %d and restoring '
+            'the single saved state', ckpt_dir, iteration)
         return os.path.abspath(ckpt_dir)
     raise FileNotFoundError(
         f'no checkpoint at iteration {iteration} in {ckpt_dir}; '

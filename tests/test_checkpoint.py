@@ -82,3 +82,15 @@ def test_step_tagged_lineage_and_resume_at_iteration(tmp_path):
                                            model, jax.random.PRNGKey(2),
                                            wav))
     assert int(restored_flat.step) == 3
+
+
+def test_resume_rejects_non_checkpoint_directory(tmp_path):
+    """A typo'd or junk-filled --resume path must raise the clear
+    FileNotFoundError, not be mistaken for a legacy flat checkpoint
+    (which would fail later with a confusing Orbax error)."""
+    junk = tmp_path / 'not_a_checkpoint'
+    junk.mkdir()
+    (junk / 'notes.txt').write_text('hello')
+    with pytest.raises(FileNotFoundError, match='no checkpoint'):
+        resume_checkpoint_path(str(junk), 5)
+    assert best_checkpoint_path(str(junk)) is None

@@ -27,6 +27,42 @@ def test_maybe_initialize_rejects_partial_env(monkeypatch):
         maybe_initialize()
 
 
+def test_explicit_wiring_beats_multihost_autodetect(monkeypatch):
+    """A pod launcher that exports BOTH the explicit coordinator wiring
+    and SED_TPU_MULTIHOST=1 must get the operator's explicit wiring, not
+    auto-detection."""
+    for var in ('JAX_COORDINATOR_ADDRESS', 'JAX_NUM_PROCESSES',
+                'JAX_PROCESS_ID', 'JAX_PROCESS_COUNT', 'JAX_PROCESS_INDEX',
+                'SED_TPU_MULTIHOST'):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv('SED_TPU_MULTIHOST', '1')
+    monkeypatch.setenv('JAX_COORDINATOR_ADDRESS', 'host0:8476')
+    monkeypatch.setenv('JAX_NUM_PROCESSES', '2')
+    monkeypatch.setenv('JAX_PROCESS_ID', '1')
+    import jax
+    calls = []
+    monkeypatch.setattr(jax.distributed, 'initialize',
+                        lambda **kw: calls.append(kw))
+    assert maybe_initialize() is True
+    assert calls == [{'coordinator_address': 'host0:8476',
+                      'num_processes': 2, 'process_id': 1}]
+
+
+def test_partial_env_error_names_the_aliases_set(monkeypatch):
+    """The partial-config error must name the alias env vars the user
+    actually set (JAX_PROCESS_COUNT/INDEX), not only the canonical
+    names."""
+    import pytest
+    for var in ('JAX_COORDINATOR_ADDRESS', 'JAX_NUM_PROCESSES',
+                'JAX_PROCESS_ID', 'JAX_PROCESS_COUNT', 'JAX_PROCESS_INDEX',
+                'SED_TPU_MULTIHOST'):
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv('JAX_PROCESS_COUNT', '4')
+    with pytest.raises(RuntimeError) as exc:
+        maybe_initialize()
+    assert 'JAX_PROCESS_COUNT' in str(exc.value)
+
+
 def test_host_sharded_sampler_slices_disjoint_and_complete():
     batches = [[{'i': i, 'b': b} for i in range(8)] for b in range(3)]
     shards = [list(HostShardedSampler(batches, process_index=k,

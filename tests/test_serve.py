@@ -234,6 +234,114 @@ def test_stream_pull_format_full_matches_tracks():
     assert got == want
 
 
+def test_engine_defaults_are_measured_fastest():
+    """Production defaults must match the proven-fastest serving config
+    (BENCHMARKS.md): pull_format='full', launch_group=2 — a user who
+    never reads the benchmarks gets the fast path."""
+    import jax
+    cfg = AUDIO_16K
+    model = get_model('Cnn_9layers_Gru_FrameAtt', cfg)
+    wav0 = np.zeros((1, cfg.sample_rate * 5), np.float32)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, wav0,
+                           train=False)
+    eng = SedInferenceEngine(model, variables, cfg, batch_size=4)
+    assert eng.pull_format == 'full'
+    assert eng.launch_group == 2
+    # float gathers need the per-track pull path; the default adapts
+    eng_f = SedInferenceEngine(model, variables, cfg, batch_size=4,
+                               gather_format='float')
+    assert eng_f.pull_format == 'tracks'
+    # an explicit incompatible combination is rejected loudly instead of
+    # decoding packed mask bytes as float probabilities
+    with pytest.raises(AssertionError):
+        SedInferenceEngine(model, variables, cfg, batch_size=4,
+                           gather_format='float', pull_format='full')
+    # the predict CLI builds its engine with the same defaults
+    import inspect
+    from sed_tpu.cli import predict as predict_cli
+    src = inspect.getsource(predict_cli._build_engine)
+    assert "'launch_group', 2" in src and "'pull_format', None" in src
+
+
+def test_topk_saturation_with_padded_batch(engine):
+    """Regression: pad clips' tracks compete in lax.top_k, so a short
+    final chunk where capacity k >= valid*nC but k < B*nC can have real
+    active tracks displaced by pad tracks while every pulled margin is
+    positive.  The fallback must trigger on the LAUNCH's total track
+    count, not valid*nC."""
+    nC = len(engine.labels)
+    tb = engine._track_bytes
+    valid, B = 1, 2
+    k = nC + 1                       # >= valid*nC, < B*nC
+    # the real clip's single active track: class 3, frames 40..79 high
+    all_dev = np.zeros((B, nC, 2 * tb), np.uint8)
+    bits = np.zeros(tb * 8, np.uint8)
+    bits[40:80] = 1
+    packed = np.packbits(bits)
+    all_dev[0, 3, :tb] = packed
+    all_dev[0, 3, tb:] = packed      # low mask = high mask
+    # top-k buffer: ALL rows are pad-clip tracks (flat idx >= valid*nC)
+    # with positive margins — the real track was displaced entirely
+    buf = np.zeros((k, 2 * tb + 8), np.uint8)
+    for j in range(k):
+        flat = nC + j % nC           # pad clip's tracks
+        buf[j, 2 * tb:2 * tb + 4] = np.array(
+            [flat], np.int32).view(np.uint8)
+        buf[j, 2 * tb + 4:] = np.array([0.25], np.float32).view(np.uint8)
+    p = PREDICT_SED_PARAMS.per_class(nC)
+    per_clip = [[] for _ in range(valid)]
+    engine._decode_topk_into(per_clip, ['real.wav'], p, buf, all_dev,
+                             0, valid)
+    assert len(per_clip[0]) == 1     # recovered from the fallback buffer
+    ev = per_clip[0][0]
+    assert ev['event_label'] == engine.labels[3]
+    assert abs(ev['onset'] - 0.40) < 1e-6
+    assert abs(ev['offset'] - 0.80) < 1e-6
+
+
+def test_resident_matches_bulk(engine):
+    """predict_clips_resident (single upload + one lax.map launch + one
+    pull) must produce identical events/XML to predict_clips for ragged
+    clip counts, any upload split, both pull formats, and q6 wires."""
+    rng = np.random.RandomState(61)
+    wavs = rng.uniform(-0.3, 0.3,
+                       (19, AUDIO_16K.sample_rate * 5)).astype(np.float32)
+    names = [f'c{i}.wav' for i in range(19)]
+    want = engine.predict_clips(wavs, names=names)
+    for threads in (1, 3):
+        telemetry = {}
+        got = engine.predict_clips_resident(wavs, names=names,
+                                            upload_threads=threads,
+                                            telemetry=telemetry)
+        assert got == want, f'threads={threads}'
+        assert telemetry['rpcs'] == threads + 2
+        assert telemetry['bytes_h2d'] == 24 * wavs.shape[1] * 4
+        assert telemetry['n_batches'] == 3
+        for key in ('upload_s', 'launch_s', 'pull_s', 'decode_s',
+                    'bytes_d2h'):
+            assert key in telemetry
+
+    # topk resident, incl. forced saturation -> on-device fallback
+    eng = SedInferenceEngine(engine.model, engine.variables, AUDIO_16K,
+                             sample_duration=5, overlap=True,
+                             batch_size=8, pull_format='topk')
+    got = eng.predict_clips_resident(wavs, names=names)
+    assert got == want
+    eng2 = SedInferenceEngine(engine.model, engine.variables, AUDIO_16K,
+                              sample_duration=5, overlap=True,
+                              batch_size=8, pull_format='topk')
+    eng2._topk_capacity_resident = lambda n: 1
+    got2 = eng2.predict_clips_resident(wavs, names=names)
+    assert got2 == want
+
+    # quantized wire: resident must equal the batched path on the SAME
+    # wire (both decode q6 on device)
+    q6 = audio_io.qn_encode(wavs, 6)
+    want_q6 = engine.predict_clips(q6, names=names)
+    got_q6 = engine.predict_clips_resident(q6, names=names)
+    assert got_q6 == want_q6
+
+
 def test_predict_clips_chunking_matches_unchunked(engine):
     """The dispatch-ahead bound (chunked processing of huge inputs) must
     not change results."""
