@@ -153,3 +153,105 @@ def test_mel_filterbank_vs_independent_construction():
         got = filters.mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
         np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12,
                                    err_msg=cfg.name)
+
+
+# ---------------------------------------------------------------------------
+# librosa value fixture (vendored test-only oracle)
+# ---------------------------------------------------------------------------
+
+def _librosa_mel_oracle(sr, n_fft, n_mels, fmin, fmax, htk=False,
+                        norm='slaney', dtype=np.float64):
+    """Faithful test-only transcription of ``librosa.filters.mel``
+    (librosa 0.9.x, ``librosa/filters.py``, ISC license; the function the
+    reference embeds at ``pytorch/stft.py:688-692``).  Kept verbatim in
+    structure — np.fft.rfftfreq bins, subtract.outer ramps, Slaney area
+    norm — so the repo's from-first-principles construction
+    (``sed_tpu/dsp/filters.py``) is pinned to librosa's exact values, not
+    just to the same paper."""
+    if fmax is None:
+        fmax = float(sr) / 2
+    weights = np.zeros((n_mels, int(1 + n_fft // 2)), dtype=dtype)
+
+    # center freqs of each FFT bin: librosa.fft_frequencies
+    fftfreqs = np.fft.rfftfreq(n=n_fft, d=1.0 / sr)
+
+    # center freqs of mel bands: librosa.mel_frequencies
+    # (hz_to_mel / mel_to_hz inlined, Slaney break at 1 kHz)
+    def hz_to_mel(frequencies):
+        frequencies = np.asanyarray(frequencies)
+        f_min, f_sp = 0.0, 200.0 / 3
+        mels = (frequencies - f_min) / f_sp
+        min_log_hz = 1000.0
+        min_log_mel = (min_log_hz - f_min) / f_sp
+        logstep = np.log(6.4) / 27.0
+        if htk:
+            return 2595.0 * np.log10(1.0 + frequencies / 700.0)
+        if mels.ndim:
+            log_t = frequencies >= min_log_hz
+            mels[log_t] = min_log_mel + \
+                np.log(frequencies[log_t] / min_log_hz) / logstep
+        elif frequencies >= min_log_hz:
+            mels = min_log_mel + np.log(frequencies / min_log_hz) / logstep
+        return mels
+
+    def mel_to_hz(mels):
+        mels = np.asanyarray(mels)
+        if htk:
+            return 700.0 * (10.0 ** (mels / 2595.0) - 1.0)
+        f_min, f_sp = 0.0, 200.0 / 3
+        freqs = f_min + f_sp * mels
+        min_log_hz = 1000.0
+        min_log_mel = (min_log_hz - f_min) / f_sp
+        logstep = np.log(6.4) / 27.0
+        if mels.ndim:
+            log_t = mels >= min_log_mel
+            freqs[log_t] = min_log_hz * \
+                np.exp(logstep * (mels[log_t] - min_log_mel))
+        elif mels >= min_log_mel:
+            freqs = min_log_hz * np.exp(logstep * (mels - min_log_mel))
+        return freqs
+
+    min_mel = hz_to_mel(fmin)
+    max_mel = hz_to_mel(fmax)
+    mels = np.linspace(min_mel, max_mel, n_mels + 2)
+    mel_f = mel_to_hz(mels)
+
+    fdiff = np.diff(mel_f)
+    ramps = np.subtract.outer(mel_f, fftfreqs)
+
+    for i in range(n_mels):
+        # lower and upper slopes for all bins
+        lower = -ramps[i] / fdiff[i]
+        upper = ramps[i + 2] / fdiff[i + 1]
+        # .. then intersect them with each other and zero
+        weights[i] = np.maximum(0, np.minimum(lower, upper))
+
+    if norm == 'slaney':
+        # Slaney-style mel is scaled to be approx constant energy per
+        # channel
+        enorm = 2.0 / (mel_f[2:n_mels + 2] - mel_f[:n_mels])
+        weights *= enorm[:, np.newaxis]
+    return weights
+
+
+def test_mel_filterbank_matches_librosa_oracle():
+    """The frontend's mel filterbank must equal librosa.filters.mel's
+    values (vendored above) to <=1e-12 for all three audio-quality
+    triads plus HTK/no-norm variants — the exact matrices the reference
+    bakes into LogmelFilterBank (``pytorch/stft.py:688-692``)."""
+    triads = [(8000, 256, 64, 12, 3500), (16000, 512, 64, 25, 7000),
+              (32000, 1024, 64, 50, 14000)]
+    for sr, n_fft, n_mels, fmin, fmax in triads:
+        ours = filters.mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
+        gold = _librosa_mel_oracle(sr, n_fft, n_mels, fmin, fmax).T
+        assert ours.shape == gold.shape == (n_fft // 2 + 1, n_mels)
+        np.testing.assert_allclose(ours, gold, rtol=0, atol=1e-12)
+        # float32 cast (what both the reference conv weights and our
+        # frontend constants actually use) is elementwise identical
+        np.testing.assert_array_equal(ours.astype(np.float32),
+                                      gold.astype(np.float32))
+    # variants: htk scale, no normalization, fmax=None default
+    for kw in ({'htk': True}, {'norm': None}, {}):
+        ours = filters.mel_filterbank(22050, 2048, 128, 0.0, None, **kw)
+        gold = _librosa_mel_oracle(22050, 2048, 128, 0.0, None, **kw).T
+        np.testing.assert_allclose(ours, gold, rtol=0, atol=1e-12)
