@@ -49,7 +49,7 @@ def train(args):
                                           save_best_checkpoint)
     from sed_tpu.train.prefetch import device_prefetch
     from sed_tpu.train.state import create_train_state
-    from sed_tpu.train.step import make_train_step
+    from sed_tpu.train.step import init_loss_scale, make_train_step
 
     cfg, ws = common.resolve(args)
     mixup = 'mixup' in args.augmentation
@@ -96,7 +96,11 @@ def train(args):
                                                    args.batch_size))
     test_loader = DataLoader(dataset, TestSampler(test_h5, args.batch_size))
 
-    model = get_model(args.model_type, cfg, feature_type=args.feature_type)
+    compute_dtype = (jnp.bfloat16
+                     if getattr(args, 'compute_dtype', 'f32') == 'bf16'
+                     else None)
+    model = get_model(args.model_type, cfg, feature_type=args.feature_type,
+                      compute_dtype=compute_dtype)
     # data-parallel width: the largest device count dividing every batch
     # stream (batch axes must split evenly over the mesh)
     import math
@@ -127,11 +131,16 @@ def train(args):
     if mesh is not None:
         state = jax.device_put(state, mesh_lib.replicated_sharding(mesh))
 
+    # bf16 training gets dynamic loss scaling with nonfinite-step skip
+    # (measured: Cnn_9layers_Transformer_FrameAtt diverged within 30
+    # plain bf16 steps, BENCHMARKS.md)
+    use_loss_scale = compute_dtype is not None
     step_fn = make_train_step(
         model, losses_lib.get_loss_func(args.loss_type),
         losses_lib.get_loss_func('frame_bce'),
         mixup=mixup, timeshift=timeshift, spec_augment=spec_augment,
-        mesh=mesh)
+        mesh=mesh, loss_scale='dynamic' if use_loss_scale else None)
+    scale_state = init_loss_scale() if use_loss_scale else None
 
     evaluator = Evaluator(model, EVAL_SED_PARAMS,
                           batch_size=args.batch_size)
@@ -232,13 +241,21 @@ def train(args):
         weak_batch, strong_batches = next(batch_iter)
 
         rng, step_rng = jax.random.split(rng)
-        state, metrics = step_fn(state, weak_batch, strong_batches,
-                                 step_rng)
+        if use_loss_scale:
+            state, metrics, scale_state = step_fn(
+                state, weak_batch, strong_batches, step_rng, scale_state)
+        else:
+            state, metrics = step_fn(state, weak_batch, strong_batches,
+                                     step_rng)
         if iteration % 100 == 0:
             logging.info(
-                '%d iteration - weak: %.4f, strong: %.4f, total: %.4f',
+                '%d iteration - weak: %.4f, strong: %.4f, total: %.4f%s',
                 iteration, float(metrics['weak_loss']),
-                float(metrics['strong_loss']), float(metrics['loss']))
+                float(metrics['strong_loss']), float(metrics['loss']),
+                ('' if not use_loss_scale else
+                 ' (scale %.0f, finite %s)' % (
+                     float(metrics['loss_scale']),
+                     bool(metrics['grads_finite']))))
 
         iteration += 1
         if iteration == args.stop_iteration:
@@ -402,6 +419,11 @@ def get_parser() -> argparse.ArgumentParser:
             sub.add_argument('--eval_interval', type=int, default=1000)
             sub.add_argument('--fsd50k', action='store_true',
                              default=False)
+            sub.add_argument('--compute_dtype', type=str, default='f32',
+                             choices=['f32', 'bf16'],
+                             help='conv-stack computation dtype; bf16 '
+                                  'enables dynamic loss scaling with '
+                                  'nonfinite-step skipping')
             sub.add_argument('--num_workers', type=int, default=2,
                              help='data-loader fetch threads (the '
                                   'reference uses 8 torch workers)')
