@@ -88,6 +88,18 @@ def load_sed_params(args, cfg: AudioConfig, ws: Workspace,
     return default
 
 
+def init_example(args, cfg: AudioConfig):
+    """Zero input of the shape the model's __call__ expects: a waveform
+    for 'logmel', a precomputed (1, mel_bins, frames) gammatonegram for
+    'gamma' (``pytorch/models.py:630-640``)."""
+    import numpy as np
+    if getattr(args, 'feature_type', 'logmel') == 'gamma':
+        from sed_tpu.dsp import gammatone
+        frames = gammatone.gtgram_frames(cfg, cfg.audio_samples)
+        return np.zeros((1, cfg.mel_bins, frames), np.float32)
+    return np.zeros((1, cfg.audio_samples), np.float32)
+
+
 def build_model_and_variables(args, cfg: AudioConfig, ws: Workspace,
                               checkpoint: Optional[str] = None):
     """Model from the registry + variables from a checkpoint (Orbax dir
@@ -107,7 +119,6 @@ def build_model_and_variables(args, cfg: AudioConfig, ws: Workspace,
         from sed_tpu.train.checkpoint import load_variables
         variables = load_variables(path)
     else:
-        wav = np.zeros((1, cfg.audio_samples), np.float32)
-        variables = model.init({'params': jax.random.PRNGKey(0)}, wav,
-                               train=False)
+        variables = model.init({'params': jax.random.PRNGKey(0)},
+                               init_example(args, cfg), train=False)
     return model, variables

@@ -53,7 +53,7 @@ def train(args):
     model = get_model(args.model_type, cfg, feature_type=args.feature_type)
     state = create_train_state(
         model, jax.random.PRNGKey(0),
-        jnp.zeros((1, cfg.audio_samples), jnp.float32),
+        jnp.asarray(common.init_example(args, cfg)),
         learning_rate=args.learning_rate)
 
     loss_func = losses_lib.get_loss_func(args.loss_type)

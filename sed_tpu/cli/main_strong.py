@@ -112,7 +112,7 @@ def train(args):
     if mesh is not None:
         logging.info('data-parallel mesh over %d devices', n_mesh)
 
-    example = np.zeros((1, cfg.audio_samples), np.float32)
+    example = common.init_example(args, cfg)
     state = create_train_state(model, jax.random.PRNGKey(0),
                                jnp.asarray(example),
                                learning_rate=args.learning_rate)

@@ -108,7 +108,7 @@ def test_02_train_gamma(dataset_dir, workspace):
     main_strong_cli.main(['train', '--dataset_dir', dataset_dir,
                           '--workspace', workspace, *COMMON,
                           '--learning_rate', '1e-3',
-                          '--stop_iteration', '2',
+                          '--stop_iteration', '3',
                           '--eval_interval', '2'])
     ckpt = os.path.join(
         workspace, 'checkpoints', 'main_strong', 'holdout_fold=1',
