@@ -1,35 +1,45 @@
-"""End-to-end serving benchmark: 5 s-clip wav -> XML throughput per chip.
+"""End-to-end serving benchmark: 5 s-clip audio files -> XML throughput
+per chip.
 
 Baseline: the reference processes the 747-clip test set in ~34-36 s on a
 CUDA GPU with serial batch-1 windows => ~21 clips/s (BASELINE.md).  This
-measures the same end-to-end work (wav file decode -> log-mel -> model ->
-coverage normalize -> dual-threshold event decode -> XML string) with the
-batched TPU engine.
+measures the same end-to-end work (audio file decode -> log-mel -> model
+-> coverage normalize -> dual-threshold event decode -> XML string) with
+the TPU engine's resident-buffer path: ONE bulk upload of every clip's
+wire bytes, ONE lax.map launch over all batches of the resident buffer,
+ONE packed pull (engine.predict_clips_resident).
+
+Honest-wire reporting: the headline metric NAMES its wire container.  The
+default q6 wire is the repo's 6-bit block-scaled container (~61 KB/clip;
+float->q6 encode happens at file-WRITE time and is excluded from the
+timed region, which covers file read -> upload -> forward -> pull ->
+event decode -> XML).  Readings for the true-wav wires (int16 PCM and
+G.711 mu-law, both decoded from standard RIFF files inside the timed
+region) are taken in the SAME link phase and reported alongside in the
+`wires` field.
 
 Configuration (env vars):
-  BENCH_WIRE=q6|q5|q4|mulaw8|int16  wire format (default q6: 6-bit
-                            block-scaled .q6 container, ~61 KB/clip,
-                            measured event/ER-equivalent to mu-law on
-                            this distribution — BENCHMARKS.md; mulaw8 is
-                            the 8-bit G.711 wav wire; int16 PCM is the
-                            exact-parity path; q5/q4 are narrower and
-                            lossier)
+  BENCH_WIRE=q6|q5|q4|mulaw8|int16  headline wire (default q6)
+  BENCH_MODE=resident|stream  resident (default): minimum-RPC bulk path;
+                            stream: the r02 thread-pipelined path
+  BENCH_THREADS             concurrent device_put upload chunks for the
+                            resident path (default 2)
   BENCH_BF16=1|0            bfloat16 conv stack (default 0: measured
-                            device-equal to f32 on this chip — 0.23 vs
-                            0.25 ms per 256-clip forward, BENCHMARKS.md —
-                            so the exact-numerics path is the default)
-  BENCH_BATCH/BENCH_GROUP/BENCH_PULL  device-batch 512, two batches
-                            fused per launch (lax.map), all-tracks
-                            packed-mask pull (fewest tunnel RPC round
-                            trips; interleaved A/B in BENCHMARKS.md)
-  BENCH_CLIPS / BENCH_REPEATS
+                            device-equal to f32 on this chip,
+                            BENCHMARKS.md)
+  BENCH_BATCH/BENCH_GROUP/BENCH_PULL  device-batch 512; group/pull used
+                            by the stream mode (resident always pulls
+                            once)
+  BENCH_CLIPS / BENCH_REPEATS / BENCH_SECONDARY_REPEATS
+  BENCH_SECONDARY=0         skip the same-phase int16+mulaw8 readings
 The model is the trained synthetic-tone checkpoint
 (tools/bench_checkpoint.npz, see tools/make_bench_checkpoint.py) so event
 decoding reflects real detections; falls back to a bias-calibrated random
 init if the checkpoint is absent.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "wires": {...}, "telemetry": {...}}
 """
 
 import json
@@ -40,11 +50,15 @@ import time
 
 import numpy as np
 
-N_CLIPS = int(os.environ.get('BENCH_CLIPS', '2048'))
+N_CLIPS = int(os.environ.get('BENCH_CLIPS', '4096'))
 BATCH = int(os.environ.get('BENCH_BATCH', '512'))
 GROUP = int(os.environ.get('BENCH_GROUP', '2'))
-PULL = os.environ.get('BENCH_PULL', 'full')   # tracks | full
-REPEATS = int(os.environ.get('BENCH_REPEATS', '4'))
+PULL = os.environ.get('BENCH_PULL', 'full')   # tracks | full | topk
+MODE = os.environ.get('BENCH_MODE', 'resident')
+THREADS = int(os.environ.get('BENCH_THREADS', '2'))
+REPEATS = int(os.environ.get('BENCH_REPEATS', '5'))
+SECONDARY = os.environ.get('BENCH_SECONDARY', '1') == '1'
+SECONDARY_REPEATS = int(os.environ.get('BENCH_SECONDARY_REPEATS', '2'))
 WIRE = os.environ.get('BENCH_WIRE', 'q6')
 BF16 = os.environ.get('BENCH_BF16', '0') == '1'
 # fallback head-bias calibration for random init (no checkpoint): restores
@@ -84,6 +98,66 @@ def make_test_clips(n, sr, seconds=5, seed=0):
     return clips
 
 
+def write_wire_files(clips, sr, wire, tmpdir):
+    """Write one file per clip in the given wire format; returns
+    (paths, reader) where reader(path) -> (codes/samples, ...)."""
+    from sed_tpu.data import audio_io
+    qbits = int(wire[1]) if wire.startswith('q') else None
+    ext = wire if qbits else 'wav'
+    paths = []
+    n = clips.shape[0]
+    for i in range(n):
+        p = os.path.join(tmpdir, f'{wire}_clip{i:05d}.{ext}')
+        if qbits:
+            audio_io.save_qn(p, clips[i], sr, qbits)
+        elif wire == 'mulaw8':
+            audio_io.save_wav_mulaw(p, clips[i], sr)
+        else:
+            audio_io.save_wav(p, clips[i], sr)
+        paths.append(p)
+    if qbits:
+        read = lambda p: audio_io.read_qn(p)[0]            # noqa: E731
+    elif wire == 'mulaw8':
+        read = lambda p: audio_io.fast_read_wav_mulaw(p)[0]  # noqa: E731
+    else:
+        read = lambda p: audio_io.fast_read_wav_int16(p)[0]  # noqa: E731
+    return paths, read
+
+
+def encode_wire(clips, wire):
+    """Host wire encode (only used for warmup buffers)."""
+    from sed_tpu.data import audio_io
+    if wire.startswith('q'):
+        return audio_io.qn_encode(clips, int(wire[1]))
+    if wire == 'mulaw8':
+        return audio_io.mulaw_encode(clips)
+    return (np.clip(clips, -1, 1) * 32767).astype(np.int16)
+
+
+def run_pass(engine, paths, read, names, telemetry=None):
+    """One timed end-to-end pass: file read -> events/XML."""
+    if MODE == 'resident':
+        first = read(paths[0])
+        buf = np.empty((len(paths), first.shape[0]), first.dtype)
+        buf[0] = first
+        for i in range(1, len(paths)):
+            buf[i] = read(paths[i])
+        t_read = time.time()
+        events, xmls = engine.predict_clips_resident(
+            buf, names=names, upload_threads=THREADS,
+            telemetry=telemetry)
+        if telemetry is not None:
+            telemetry['read_s'] = None    # filled by caller from t0
+            telemetry['_t_read'] = t_read
+        return events, xmls
+
+    def batches():
+        for i in range(0, len(paths), BATCH):
+            yield np.stack([read(p) for p in paths[i:i + BATCH]])
+
+    return engine.predict_clips_stream(batches(), names=names)
+
+
 def main():
     import jax
     # persistent compile cache: repeat bench runs skip the (slow) remote
@@ -93,7 +167,6 @@ def main():
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     import jax.numpy as jnp
     from sed_tpu.config import AUDIO_16K, PREDICT_SED_PARAMS
-    from sed_tpu.data import audio_io
     from sed_tpu.models.registry import get_model
     from sed_tpu.serve.engine import SedInferenceEngine
 
@@ -118,72 +191,80 @@ def main():
                                 batch_size=BATCH, launch_group=GROUP,
                                 pull_format=PULL)
 
-    # Write wav files (e2e includes file decode).  mu-law files are the
-    # standard 8-bit telephony wav (format tag 7).
     clips = make_test_clips(N_CLIPS, sr)
     tmpdir = tempfile.mkdtemp(prefix='sed_bench_')
-    paths = []
-    qbits = int(WIRE[1]) if WIRE.startswith('q') else None
-    ext = WIRE if qbits else 'wav'
-    for i in range(N_CLIPS):
-        p = os.path.join(tmpdir, f'clip{i:05d}.{ext}')
-        if qbits:
-            audio_io.save_qn(p, clips[i], sr, qbits)
-        elif WIRE == 'mulaw8':
-            audio_io.save_wav_mulaw(p, clips[i], sr)
-        else:
-            audio_io.save_wav(p, clips[i], sr)
-        paths.append(p)
-    read = (audio_io.read_qn if qbits else
-            {'mulaw8': audio_io.fast_read_wav_mulaw,
-             'int16': audio_io.fast_read_wav_int16}[WIRE])
+    names = [f'clip{i:05d}.wav' for i in range(N_CLIPS)]
+    wires = [WIRE] + ([w for w in ('int16', 'mulaw8') if w != WIRE]
+                      if SECONDARY else [])
+    files = {w: write_wire_files(clips, sr, w, tmpdir) for w in wires}
 
-    # Warm up compile + caches (same dtype as the timed path).
-    if qbits:
-        warm = audio_io.qn_encode(clips[:BATCH], qbits)
-    elif WIRE == 'mulaw8':
-        warm = audio_io.mulaw_encode(clips[:BATCH])
-    else:
-        warm = (np.clip(clips[:BATCH], -1, 1) * 32767).astype(np.int16)
-    engine.warmup(warm)   # compile the configured stream-path programs
-    # one warm pass through the wire decode + event decode host caches
-    engine.predict_clips_stream(iter([warm]),
-                                names=[f'w{i}' for i in
-                                       range(warm.shape[0])])
+    # Warm up compile + caches per wire dtype/width (untimed): each wire
+    # width/dtype is a distinct resident program, so one full-size pass
+    # per wire compiles exactly what the timed passes run.
+    for w in wires:
+        if MODE == 'resident':
+            full = encode_wire(clips, w)
+            engine.predict_clips_resident(full, names=names,
+                                          upload_threads=THREADS)
+        else:
+            warm = encode_wire(clips[:BATCH], w)
+            engine.warmup(warm)
+            engine.predict_clips_stream(iter([warm]),
+                                        names=names[:warm.shape[0]])
 
     # The serving link's throughput fluctuates over time; take the best
-    # of N passes to reduce measurement noise.  File decode streams
-    # batch-by-batch through the engine's thread pipeline so host work
-    # overlaps the (blocking) uploads.
-    def batches():
-        for i in range(0, N_CLIPS, BATCH):
-            yield np.stack([read(p)[0] for p in paths[i:i + BATCH]])
+    # of N passes per wire, all wires measured back-to-back in the same
+    # link phase.
+    readings, best_tel, events = {}, {}, None
+    for w in wires:
+        paths, read = files[w]
+        reps = REPEATS if w == WIRE else SECONDARY_REPEATS
+        times, tels = [], []
+        for _ in range(max(1, reps)):
+            tel = {} if MODE == 'resident' else None
+            t0 = time.time()
+            ev, xmls = run_pass(engine, paths, read, names, tel)
+            dt = time.time() - t0
+            if tel is not None and '_t_read' in tel:
+                tel['read_s'] = round(tel.pop('_t_read') - t0, 4)
+            times.append(dt)
+            tels.append(tel)
+            if w == WIRE:
+                events = ev
+        best = int(np.argmin(times))
+        readings[w] = {
+            'clips_per_sec': round(N_CLIPS / times[best], 1),
+            'times_s': [round(t, 2) for t in times],
+        }
+        if w == WIRE and tels[best] is not None:
+            best_tel = tels[best]
 
-    results = []
-    for _ in range(max(1, REPEATS)):
-        t0 = time.time()
-        events, xmls = engine.predict_clips_stream(
-            batches(), names=[os.path.basename(p) for p in paths])
-        results.append(time.time() - t0)
-    elapsed = min(results)
-
+    elapsed = min(readings[WIRE]['times_s'])
+    clips_per_sec = readings[WIRE]['clips_per_sec']
     n_events = sum(len(e) for e in events)
-    clips_per_sec = N_CLIPS / elapsed
+    qname = (f'{WIRE} container' if WIRE.startswith('q')
+             else f'{WIRE} wav')
     result = {
-        'metric': '5s-clip inferences/sec/chip (wav->XML e2e)',
-        'value': round(clips_per_sec, 2),
+        'metric': (f'5s-clip inferences/sec/chip ({qname} file->XML '
+                   'e2e; qN encode excluded, wav wires fully decoded '
+                   'in-loop)'),
+        'value': clips_per_sec,
         'unit': 'clips/s',
         'vs_baseline': round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 2),
+        'wires': {w: r['clips_per_sec'] for w, r in readings.items()},
+        'telemetry': best_tel,
     }
     print(json.dumps(result))
-    print(f'# {N_CLIPS} clips in {elapsed:.2f}s (best of '
-          f'{[round(r, 2) for r in results]}), {n_events} events, '
-          f'wire={WIRE}, bf16={BF16}, group={GROUP}, pull={PULL}, '
-          f'trained_ckpt={trained}',
+    print(f'# {N_CLIPS} clips in {elapsed:.2f}s, {n_events} events, '
+          f'mode={MODE}, threads={THREADS}, wire={WIRE}, bf16={BF16}, '
+          f'group={GROUP}, pull={PULL}, trained_ckpt={trained}; '
+          f'all readings (same link phase): '
+          f'{json.dumps(readings)}',
           file=sys.stderr)
 
-    for p in paths:
-        os.unlink(p)
+    for w in wires:
+        for p in files[w][0]:
+            os.unlink(p)
     os.rmdir(tmpdir)
 
 
