@@ -68,6 +68,37 @@ class AudiosetDataset:
             data['strong_target'] = hf['strong_target'][i].astype(np.float32)
         return data
 
+    def get_batch(self, batch_meta: List[dict]) -> Dict[str, np.ndarray]:
+        """Whole batch in ONE hyperslab read per HDF5 dataset.
+
+        The reference (and the per-item path above) issues one h5py call
+        per item per dataset — at batch 48 that is ~150 chunked-read
+        calls of libhdf5 overhead per step.  Reading the sorted unique
+        indices in a single fancy selection and scattering back cuts the
+        call count to 3-4 per batch (h5py fancy selection requires
+        increasing unique indices; a mid-batch reshuffle can repeat an
+        index, hence the inverse scatter).  Output is identical to
+        ``collate_fn([self[m] for m in batch_meta])``.
+        """
+        path = batch_meta[0]['hdf5_path']
+        if any(m['hdf5_path'] != path for m in batch_meta):
+            return collate_fn([self[m] for m in batch_meta])
+        idx = np.fromiter((m['index_in_hdf5'] for m in batch_meta),
+                          np.int64, count=len(batch_meta))
+        hf = self._file(path)
+        uniq, inverse = np.unique(idx, return_inverse=True)
+        wav = hf['waveform'][uniq][inverse]
+        data = {
+            'audio_name': np.array(
+                [n.decode() for n in hf['audio_name'][uniq]])[inverse],
+            'waveform': int16_to_float32(wav) if self.dequantize else wav,
+            'target': hf['target'][uniq].astype(np.float32)[inverse],
+        }
+        if 'strong_target' in hf:
+            data['strong_target'] = \
+                hf['strong_target'][uniq].astype(np.float32)[inverse]
+        return data
+
     def close(self):
         with self._lock:
             for r in self._all:
@@ -158,6 +189,14 @@ class DataLoader:
         self.collate = collate
         self.prefetch = prefetch
         self.num_workers = max(1, num_workers)
+        # default collate + a hyperslab-capable dataset: one fancy read
+        # per HDF5 dataset per batch instead of one per item (measured
+        # speedup in BENCHMARKS.md); custom collates keep the item path
+        if collate is collate_fn and hasattr(dataset, 'get_batch'):
+            self._fetch = dataset.get_batch
+        else:
+            self._fetch = lambda metas: self.collate(
+                [self.dataset[m] for m in metas])
 
     # -- single-thread path ------------------------------------------------
 
@@ -178,8 +217,7 @@ class DataLoader:
             for batch_meta in self.batch_sampler:
                 if stop.is_set():
                     return
-                if not put(self.collate([self.dataset[m]
-                                         for m in batch_meta])):
+                if not put(self._fetch(batch_meta)):
                     return
             put(None)
         except Exception as exc:  # surface worker errors to the consumer
@@ -216,7 +254,7 @@ class DataLoader:
                 return
             seq, batch_meta = item
             try:
-                batch = self.collate([self.dataset[m] for m in batch_meta])
+                batch = self._fetch(batch_meta)
             except Exception as exc:     # surfaced at the consumer
                 batch = exc
             with cond:

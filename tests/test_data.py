@@ -303,3 +303,38 @@ def test_train_step_accepts_int16_waveforms():
     _, mf = step(state, weak_f, [strong_f], jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(m16['loss']), float(mf['loss']),
                                rtol=1e-6)
+
+
+def test_get_batch_hyperslab_matches_per_item(tmp_path):
+    """The one-fancy-read-per-dataset batch fetch must be byte-identical
+    to the per-item path, including duplicate indices (a mid-batch
+    TrainSampler reshuffle can repeat one) and unsorted order."""
+    import h5py
+    from sed_tpu.data.dataset import (AudiosetDataset, DataLoader,
+                                      TestSampler, collate_fn)
+    path = str(tmp_path / 'weak_training_logmel_16k.h5')
+    rng = np.random.RandomState(0)
+    with h5py.File(path, 'w') as hf:
+        hf.create_dataset('audio_name',
+                          data=[f'c{i}.wav'.encode() for i in range(16)])
+        hf.create_dataset('waveform',
+                          data=rng.randint(-3000, 3000, (16, 256), np.int16))
+        hf.create_dataset('target', data=rng.rand(16, 25) > 0.8)
+        hf.create_dataset('strong_target',
+                          data=rng.rand(16, 50, 25) > 0.9)
+    for dequantize in (True, False):
+        ds = AudiosetDataset(dequantize=dequantize)
+        metas = [{'hdf5_path': path, 'index_in_hdf5': i}
+                 for i in [7, 2, 2, 11, 0, 15, 7]]      # dups + unsorted
+        got = ds.get_batch(metas)
+        want = collate_fn([ds[m] for m in metas])
+        assert sorted(got) == sorted(want)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k])
+            assert got[k].dtype == want[k].dtype
+        # the loader routes default-collate batches through get_batch
+        loader = DataLoader(ds, TestSampler(path, 5))
+        assert loader._fetch == ds.get_batch
+        batches = list(loader)
+        assert sum(b['waveform'].shape[0] for b in batches) == 16
+        ds.close()
