@@ -55,7 +55,7 @@ BATCH = int(os.environ.get('BENCH_BATCH', '512'))
 GROUP = int(os.environ.get('BENCH_GROUP', '2'))
 PULL = os.environ.get('BENCH_PULL', 'full')   # tracks | full | topk
 MODE = os.environ.get('BENCH_MODE', 'resident')
-THREADS = int(os.environ.get('BENCH_THREADS', '2'))
+THREADS = int(os.environ.get('BENCH_THREADS', '4'))
 REPEATS = int(os.environ.get('BENCH_REPEATS', '5'))
 SECONDARY = os.environ.get('BENCH_SECONDARY', '1') == '1'
 SECONDARY_REPEATS = int(os.environ.get('BENCH_SECONDARY_REPEATS', '2'))
@@ -135,21 +135,12 @@ def encode_wire(clips, wire):
 
 
 def run_pass(engine, paths, read, names, telemetry=None):
-    """One timed end-to-end pass: file read -> events/XML."""
+    """One timed end-to-end pass: file read -> events/XML.  Resident
+    mode pipelines the file decode into the upload threads."""
     if MODE == 'resident':
-        first = read(paths[0])
-        buf = np.empty((len(paths), first.shape[0]), first.dtype)
-        buf[0] = first
-        for i in range(1, len(paths)):
-            buf[i] = read(paths[i])
-        t_read = time.time()
-        events, xmls = engine.predict_clips_resident(
-            buf, names=names, upload_threads=THREADS,
+        return engine.predict_files_resident(
+            paths, read, names=names, upload_threads=THREADS,
             telemetry=telemetry)
-        if telemetry is not None:
-            telemetry['read_s'] = None    # filled by caller from t0
-            telemetry['_t_read'] = t_read
-        return events, xmls
 
     def batches():
         for i in range(0, len(paths), BATCH):
@@ -225,8 +216,6 @@ def main():
             t0 = time.time()
             ev, xmls = run_pass(engine, paths, read, names, tel)
             dt = time.time() - t0
-            if tel is not None and '_t_read' in tel:
-                tel['read_s'] = round(tel.pop('_t_read') - t0, 4)
             times.append(dt)
             tels.append(tel)
             if w == WIRE:

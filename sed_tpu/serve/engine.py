@@ -941,6 +941,114 @@ class SedInferenceEngine:
                 rpcs=k + 2, n_batches=n_batches)
         return per_clip, xmls
 
+    def predict_files_resident(self, paths: Sequence[str], reader,
+                               names: Optional[List[str]] = None,
+                               upload_threads: int = 4,
+                               telemetry: Optional[dict] = None
+                               ) -> Tuple[List[List[dict]], List[str]]:
+        """File-list variant of ``predict_clips_resident`` that PIPELINES
+        file decode with the uploads: each upload thread reads its slice
+        of files into a host buffer and ``device_put``s it, so chunk
+        i+1's (CPU-bound) file decode overlaps chunk i's (link-bound)
+        transfer instead of serializing ahead of it.
+
+        ``reader(path)`` returns the 1-D wire array of one clip (any
+        format ``predict_clips`` accepts); all files must decode to the
+        same width/dtype.  Results identical to reading everything first
+        and calling ``predict_clips_resident``.
+        """
+        assert self.mesh is None, (
+            'predict_files_resident is single-device; use predict_clips '
+            'with a mesh')
+        n = len(paths)
+        if names is None:
+            names = [os.path.basename(p) for p in paths]
+        first = reader(paths[0])
+        width = first.shape[0]
+        bs = self.batch_size
+        n_batches = -(-n // bs)
+        rows = n_batches * bs
+        k = max(1, min(int(upload_threads), n))
+        base, extra = divmod(rows, k)
+        sizes = tuple(base + (1 if i < extra else 0) for i in range(k))
+        fn = self._resident_pipeline(n_batches, width, first.dtype, sizes)
+        bounds = np.cumsum((0,) + sizes)
+
+        t0 = time.time()
+        chunks: List[Optional[jax.Array]] = [None] * k
+        errs: List[BaseException] = []
+
+        def _read_upload(i):
+            try:
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                buf = np.zeros((hi - lo, width), first.dtype)
+                if i == 0:
+                    buf[0] = first
+                    start = 1
+                else:
+                    start = 0
+                for j in range(start, hi - lo):
+                    if lo + j < n:
+                        buf[j] = reader(paths[lo + j])
+                chunks[i] = jax.device_put(buf)
+            except BaseException as e:
+                errs.append(e)
+
+        if k == 1:
+            _read_upload(0)
+        else:
+            ths = [threading.Thread(target=_read_upload, args=(i,))
+                   for i in range(k)]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+        if errs:
+            raise errs[0]
+        t1 = time.time()
+
+        topk = self.pull_format == 'topk'
+        out = fn(self.variables, tuple(chunks))
+        target = out[0] if topk else out
+        try:
+            target.copy_to_host_async()
+        except Exception:
+            pass
+        t2 = time.time()
+
+        p = self.sed_params.per_class(len(self.labels)) \
+            if hasattr(self.sed_params, 'per_class') else self.sed_params
+        per_clip: List[List[dict]] = [[] for _ in range(n)]
+        buf = np.asarray(target)
+        pulled_bytes = buf.nbytes
+        t3 = time.time()
+        if topk:
+            self._decode_topk_into(per_clip, names, p, buf, out[1], 0, n)
+        else:
+            tb = self._track_bytes
+            buf = buf[:n]
+            act_n, act_c = np.nonzero(buf[:, :, :tb].any(axis=2))
+            self._decode_tracks_into(per_clip, names, p, buf[act_n, act_c],
+                                     act_n, act_c, 0)
+        xmls = [
+            xml_writer.events_to_xml(
+                sorted(evs, key=lambda e: e['onset']), names[i],
+                fallback_span=(0, self.sample_duration))
+            for i, evs in enumerate(per_clip)
+        ]
+        t4 = time.time()
+        if telemetry is not None:
+            telemetry.update(
+                upload_s=round(t1 - t0, 4),   # includes pipelined reads
+                launch_s=round(t2 - t1, 4),
+                pull_s=round(t3 - t2, 4),
+                decode_s=round(t4 - t3, 4),
+                read_s=0.0,                   # overlapped into upload_s
+                bytes_h2d=int(rows) * int(width) * first.dtype.itemsize,
+                bytes_d2h=int(pulled_bytes),
+                rpcs=k + 2, n_batches=n_batches)
+        return per_clip, xmls
+
     def predict_clips(self, wavs: np.ndarray,
                       names: Optional[List[str]] = None
                       ) -> Tuple[List[List[dict]], List[str]]:

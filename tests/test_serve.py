@@ -342,6 +342,43 @@ def test_resident_matches_bulk(engine):
     assert got_q6 == want_q6
 
 
+def test_files_resident_matches_clips_resident(engine, tmp_path):
+    """predict_files_resident (file decode pipelined into the upload
+    threads) must equal predict_clips_resident on the same wire bytes,
+    for ragged counts and both pull formats."""
+    rng = np.random.RandomState(67)
+    wavs = rng.uniform(-0.3, 0.3,
+                       (11, AUDIO_16K.sample_rate * 5)).astype(np.float32)
+    q6 = audio_io.qn_encode(wavs, 6)
+    paths = []
+    for i in range(11):
+        p = str(tmp_path / f'r{i}.q6')
+        audio_io.save_qn(p, wavs[i], AUDIO_16K.sample_rate, 6)
+        paths.append(p)
+    names = [f'r{i}.q6' for i in range(11)]
+    reader = lambda p: audio_io.read_qn(p)[0]  # noqa: E731
+    want = engine.predict_clips_resident(q6, names=names)
+    for threads in (1, 3):
+        tel = {}
+        got = engine.predict_files_resident(paths, reader, names=names,
+                                            upload_threads=threads,
+                                            telemetry=tel)
+        assert got == want, f'threads={threads}'
+        assert tel['rpcs'] == threads + 2 and tel['read_s'] == 0.0
+
+    eng = SedInferenceEngine(engine.model, engine.variables, AUDIO_16K,
+                             sample_duration=5, overlap=True,
+                             batch_size=8, pull_format='topk')
+    got = eng.predict_files_resident(paths, reader, names=names)
+    assert got == want
+
+    # a reader exception must propagate, not hang the threads
+    def bad_reader(p):
+        raise RuntimeError('decode failed')
+    with pytest.raises(RuntimeError, match='decode failed'):
+        engine.predict_files_resident(paths, bad_reader, names=names)
+
+
 def test_predict_clips_chunking_matches_unchunked(engine):
     """The dispatch-ahead bound (chunked processing of huge inputs) must
     not change results."""
