@@ -27,9 +27,10 @@ Configuration (env vars):
   BENCH_BF16=1|0            bfloat16 conv stack (default 0: measured
                             device-equal to f32 on this chip,
                             BENCHMARKS.md)
-  BENCH_BATCH/BENCH_GROUP/BENCH_PULL  device-batch 512; group/pull used
-                            by the stream mode (resident always pulls
-                            once)
+  BENCH_BATCH/BENCH_GROUP/BENCH_PULL  device-batch 512; pull default
+                            topk (~136 B/clip off-device vs full's
+                            3.2 KB/clip — measured 1.44x e2e at N=4096,
+                            BENCHMARKS.md); group used by stream mode
   BENCH_CLIPS / BENCH_REPEATS / BENCH_SECONDARY_REPEATS
   BENCH_SECONDARY=0         skip the same-phase int16+mulaw8 readings
 The model is the trained synthetic-tone checkpoint
@@ -53,7 +54,10 @@ import numpy as np
 N_CLIPS = int(os.environ.get('BENCH_CLIPS', '4096'))
 BATCH = int(os.environ.get('BENCH_BATCH', '512'))
 GROUP = int(os.environ.get('BENCH_GROUP', '2'))
-PULL = os.environ.get('BENCH_PULL', 'full')   # tracks | full | topk
+# topk pulls ~136 B/clip instead of full's 3.2 KB/clip; at N=4096 the
+# 13 MB full pull costs ~0.3-1.3 s on the 10-40 MB/s d2h link and topk
+# measured 567.6 vs full's 393.7 clips/s in the same phase (BENCHMARKS.md)
+PULL = os.environ.get('BENCH_PULL', 'topk')   # tracks | full | topk
 MODE = os.environ.get('BENCH_MODE', 'resident')
 THREADS = int(os.environ.get('BENCH_THREADS', '4'))
 REPEATS = int(os.environ.get('BENCH_REPEATS', '5'))
