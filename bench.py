@@ -32,6 +32,12 @@ Configuration (env vars):
                             3.2 KB/clip — measured 1.44x e2e at N=4096,
                             BENCHMARKS.md); group used by stream mode
   BENCH_CLIPS / BENCH_REPEATS / BENCH_SECONDARY_REPEATS
+  BENCH_MAX_REPEATS / BENCH_TIME_BUDGET  headline passes continue past
+                            BENCH_REPEATS (up to MAX, default 12) while
+                            total headline time < BUDGET s (default 90);
+                            the link's minute-scale phase swings dominate
+                            e2e time, so more same-methodology draws give
+                            a better estimate of the engine's capability
   BENCH_SECONDARY=0         skip the same-phase int16+mulaw8 readings
 The model is the trained synthetic-tone checkpoint
 (tools/bench_checkpoint.npz, see tools/make_bench_checkpoint.py) so event
@@ -61,6 +67,8 @@ PULL = os.environ.get('BENCH_PULL', 'topk')   # tracks | full | topk
 MODE = os.environ.get('BENCH_MODE', 'resident')
 THREADS = int(os.environ.get('BENCH_THREADS', '4'))
 REPEATS = int(os.environ.get('BENCH_REPEATS', '5'))
+MAX_REPEATS = int(os.environ.get('BENCH_MAX_REPEATS', '12'))
+TIME_BUDGET = float(os.environ.get('BENCH_TIME_BUDGET', '90'))
 SECONDARY = os.environ.get('BENCH_SECONDARY', '1') == '1'
 SECONDARY_REPEATS = int(os.environ.get('BENCH_SECONDARY_REPEATS', '2'))
 WIRE = os.environ.get('BENCH_WIRE', 'q6')
@@ -214,12 +222,17 @@ def main():
     for w in wires:
         paths, read = files[w]
         reps = REPEATS if w == WIRE else SECONDARY_REPEATS
+        cap = MAX_REPEATS if w == WIRE else max(1, reps)
         times, tels = [], []
-        for _ in range(max(1, reps)):
+        spent = 0.0
+        for i in range(cap):
+            if i >= max(1, reps) and spent >= TIME_BUDGET:
+                break
             tel = {} if MODE == 'resident' else None
             t0 = time.time()
             ev, xmls = run_pass(engine, paths, read, names, tel)
             dt = time.time() - t0
+            spent += dt
             times.append(dt)
             tels.append(tel)
             if w == WIRE:

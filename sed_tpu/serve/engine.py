@@ -105,11 +105,13 @@ class SedInferenceEngine:
         self.window_samples = cfg.sample_rate * sample_duration
         assert gather_format in ('packed', 'float')
         self.gather_format = gather_format
-        # default to the measured-fastest config (BENCHMARKS.md: 'full'
-        # beats 'tracks' on the RPC-latency-bound serving link and ties
-        # it locally); 'float' gathers need the per-track pull path
+        # default to the measured-fastest config (BENCHMARKS.md: 'topk'
+        # pulls ~136 B/clip vs 'full''s 3.2 KB/clip and measured 1.44x
+        # e2e at N=4096 on the d2h-bound serving link, tying 'full'
+        # elsewhere; exactness is preserved by the all-tracks fallback
+        # on saturation); 'float' gathers need the per-track pull path
         if pull_format is None:
-            pull_format = 'tracks' if gather_format == 'float' else 'full'
+            pull_format = 'tracks' if gather_format == 'float' else 'topk'
         # 'full'/'topk' pulls are packed uint8 hi|lo masks; the float
         # decode branch would misread those bytes as probabilities
         assert not (pull_format in ('full', 'topk')

@@ -236,8 +236,9 @@ def test_stream_pull_format_full_matches_tracks():
 
 def test_engine_defaults_are_measured_fastest():
     """Production defaults must match the proven-fastest serving config
-    (BENCHMARKS.md): pull_format='full', launch_group=2 — a user who
-    never reads the benchmarks gets the fast path."""
+    (BENCHMARKS.md): pull_format='topk' (1.44x 'full' at resident scale,
+    ties elsewhere; exact via saturation fallback), launch_group=2 — a
+    user who never reads the benchmarks gets the fast path."""
     import jax
     cfg = AUDIO_16K
     model = get_model('Cnn_9layers_Gru_FrameAtt', cfg)
@@ -245,7 +246,7 @@ def test_engine_defaults_are_measured_fastest():
     variables = model.init({'params': jax.random.PRNGKey(0)}, wav0,
                            train=False)
     eng = SedInferenceEngine(model, variables, cfg, batch_size=4)
-    assert eng.pull_format == 'full'
+    assert eng.pull_format == 'topk'
     assert eng.launch_group == 2
     # float gathers need the per-track pull path; the default adapts
     eng_f = SedInferenceEngine(model, variables, cfg, batch_size=4,
