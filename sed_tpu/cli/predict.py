@@ -184,7 +184,7 @@ def get_parser():
                              choices=['tracks', 'full', 'topk'],
                              help='what streaming inference pulls '
                                   'off-device per batch (default: the '
-                                  "measured-fastest 'full'; see "
+                                  "measured-fastest 'topk'; see "
                                   'SedInferenceEngine docs)')
         if mode == 'predict_asr':
             sub.add_argument('--asr_language', type=str, default='en-SG')

@@ -74,13 +74,14 @@ class SedInferenceEngine:
         into one device launch via lax.map (single-chip only) —
         amortizes per-launch RPC latency on remote-attached devices.
       pull_format: what the stream pulls off-device per batch group.
-        'full' (default): packed hi|lo crossing masks for every track in
-        one fixed-shape pull — the measured-fastest config on the
-        RPC-latency-bound serving link (BENCHMARKS.md); 'tracks':
-        per-track maxima + gathers of the active tracks (default when
-        gather_format='float'); 'topk': masks of the top-k
-        threshold-margin tracks (~140 KB) with an on-device all-tracks
-        fallback for saturation.  All three are exact and
+        'topk' (default): packed masks of the top-k threshold-margin
+        tracks (~136 B/clip) with an on-device all-tracks fallback for
+        saturation — the measured-fastest config on the bandwidth-bound
+        serving link (1.44x 'full' at N=4096, BENCHMARKS.md); 'full':
+        packed hi|lo crossing masks for every track in one fixed-shape
+        pull (~3.2 KB/clip, fewest device ops); 'tracks': per-track
+        maxima + gathers of the active tracks (default when
+        gather_format='float').  All three are exact and
         interchangeable (tests/test_serve.py).
     """
 
