@@ -96,23 +96,30 @@ BANDS = _bands()
 def make_test_clips(n, sr, seconds=5, seed=0):
     """Synthetic clips with tone bursts + noise drawn from the trained
     model's class bands, so event decoding does real work.  Vectorized
-    (bulk f32 noise + narrow-range per-burst sine) so generating the
-    full bench set costs seconds, not minutes, on the 1-vCPU host —
-    the first TIMED pass should start as soon after process launch as
-    possible to sample the launch-time link phase."""
+    in small CHUNKS (f32 noise + narrow-range per-burst sine): one
+    giant (n, 80000) allocation measured pathologically slow on this
+    host (multi-GB first-touch working sets), while ~256-clip chunks
+    keep the working set cache-sized — the first TIMED pass should
+    start as soon after process launch as possible to sample the
+    launch-time link phase."""
     rng = np.random.RandomState(seed)
     length = sr * seconds
     gen = np.random.default_rng(seed)
-    clips = (gen.random((n, length), dtype=np.float32) - 0.5) * 0.1
     t = np.arange(length) / sr
-    for i in range(n):
-        for _ in range(rng.randint(1, 3)):
-            f0 = rng.uniform(*BANDS[rng.randint(len(BANDS))])
-            s = rng.uniform(0, 3.0)
-            e = s + rng.uniform(1.0, 2.0)
-            i0, i1 = int(s * sr), min(int(e * sr) + 1, length)
-            clips[i, i0:i1] += 0.4 * np.sin(
-                2 * np.pi * f0 * t[i0:i1]).astype(np.float32)
+    clips = np.empty((n, length), np.float32)
+    chunk = 256
+    for c0 in range(0, n, chunk):
+        c1 = min(c0 + chunk, n)
+        clips[c0:c1] = (gen.random((c1 - c0, length),
+                                   dtype=np.float32) - 0.5) * 0.1
+        for i in range(c0, c1):
+            for _ in range(rng.randint(1, 3)):
+                f0 = rng.uniform(*BANDS[rng.randint(len(BANDS))])
+                s = rng.uniform(0, 3.0)
+                e = s + rng.uniform(1.0, 2.0)
+                i0, i1 = int(s * sr), min(int(e * sr) + 1, length)
+                clips[i, i0:i1] += 0.4 * np.sin(
+                    2 * np.pi * f0 * t[i0:i1]).astype(np.float32)
     return clips
 
 
@@ -124,18 +131,14 @@ def write_wire_files(clips, sr, wire, tmpdir):
     ext = wire if qbits else 'wav'
     paths = []
     n = clips.shape[0]
-    if qbits:
-        # one vectorized batch encode, then a byte-identical-to-save_qn
-        # header + row write per file (see audio_io.save_qn)
-        bufs = audio_io.qn_encode(clips, qbits)
-        head = (b'SEDQ' + bytes([1 if qbits == 4 else qbits])
-                + int(sr).to_bytes(4, 'little')
-                + int(clips.shape[1]).to_bytes(4, 'little'))
+    # NOTE: qN encode stays PER-CLIP on purpose — save_qn's ~1.5 MB
+    # working set is cache-sized; a 256-clip batch qn_encode measured
+    # 16x slower per clip on this host (see BENCHMARKS.md host-memory
+    # pathology note)
     for i in range(n):
         p = os.path.join(tmpdir, f'{wire}_clip{i:05d}.{ext}')
         if qbits:
-            with open(p, 'wb') as f:
-                f.write(head + bufs[i].tobytes())
+            audio_io.save_qn(p, clips[i], sr, qbits)
         elif wire == 'mulaw8':
             audio_io.save_wav_mulaw(p, clips[i], sr)
         else:
