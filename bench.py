@@ -40,6 +40,13 @@ Configuration (env vars):
                             e2e time, so more same-methodology draws give
                             a better estimate of the engine's capability
   BENCH_SECONDARY=0         skip the same-phase int16+mulaw8 readings
+
+Telemetry includes `raw_link_mb_s`: raw multi-stream device_put
+bandwidth probed immediately before and after the headline draws.  The
+engine pass measured AT raw-link speed (BENCHMARKS.md round-3 probe),
+so these two numbers say which link phase the reading was drawn from —
+the same pass scores ~360 clips/s at 22 MB/s and ~2700 at the probed
+1.3 GB/s burst.
 The model is the trained synthetic-tone checkpoint
 (tools/bench_checkpoint.npz, see tools/make_bench_checkpoint.py) so event
 decoding reflects real detections; falls back to a bias-calibrated random
@@ -163,6 +170,30 @@ def encode_wire(clips, wire):
     return (np.clip(clips, -1, 1) * 32767).astype(np.int16)
 
 
+def measure_raw_link_mb_s(mb=32):
+    """One raw multi-threaded device_put of `mb` MB — the link-phase
+    context for the headline reading.  The engine pass measured AT this
+    raw speed (zero upload overhead, BENCHMARKS.md round-3 probe), so
+    this number tells the reader which phase the draw came from."""
+    import threading
+    import jax
+    data = np.random.randint(0, 255, (mb, 1024, 1024), np.uint8)
+    chunks = np.array_split(data, THREADS)
+    outs = [None] * THREADS
+
+    def up(i):
+        outs[i] = jax.device_put(chunks[i])
+
+    t0 = time.time()
+    ths = [threading.Thread(target=up, args=(i,)) for i in range(THREADS)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    jax.block_until_ready(outs)
+    return mb / (time.time() - t0)
+
+
 def run_pass(engine, paths, read, names, telemetry=None):
     """One timed end-to-end pass: file read -> events/XML.  Resident
     mode pipelines the file decode into the upload threads."""
@@ -233,6 +264,7 @@ def main():
     # the time setup for every wire finishes); the true-wav secondary
     # wires follow back-to-back in the immediately adjacent link phase.
     readings, best_tel, events = {}, {}, None
+    raw_before = raw_after = None
     for w in wires:
         paths, read = files[w]
         # Warm up compile + caches per wire dtype/width (untimed): each
@@ -247,12 +279,23 @@ def main():
             engine.predict_clips_stream(iter([warm]),
                                         names=names[:warm.shape[0]])
         stage(f'{w} warm')
+        if w == WIRE and MODE == 'resident':
+            raw_before = measure_raw_link_mb_s()
+            stage(f'raw link probe: {raw_before:.0f} MB/s')
         reps = REPEATS if w == WIRE else SECONDARY_REPEATS
         cap = MAX_REPEATS if w == WIRE else max(1, reps)
+        # hard spent-time cap: a dead link phase (warm pass measured as
+        # slow as 0.6 MB/s once) must not hold the driver for reps x
+        # minutes — bail with however many draws fit in 3x the budget
+        hard_cap_s = 3 * TIME_BUDGET if w == WIRE else TIME_BUDGET
         times, tels = [], []
         spent = 0.0
         for i in range(cap):
             if i >= max(1, reps) and spent >= TIME_BUDGET:
+                break
+            if i >= 1 and spent >= hard_cap_s:
+                stage(f'{w}: dead-phase bail after {i} draws '
+                      f'({spent:.0f}s spent)')
                 break
             tel = {} if MODE == 'resident' else None
             t0 = time.time()
@@ -265,6 +308,9 @@ def main():
                 events = ev
         stage(f'{w} timed x{len(times)}: '
               f'{[round(t, 2) for t in times]}')
+        if w == WIRE and MODE == 'resident':
+            raw_after = measure_raw_link_mb_s()
+            stage(f'raw link probe: {raw_after:.0f} MB/s')
         best = int(np.argmin(times))
         readings[w] = {
             'clips_per_sec': round(N_CLIPS / times[best], 1),
@@ -272,6 +318,12 @@ def main():
         }
         if w == WIRE and tels[best] is not None:
             best_tel = tels[best]
+            if raw_before is not None:
+                # link-phase context: the engine pass runs AT raw-link
+                # speed (BENCHMARKS.md), so these bound what any
+                # serving engine could have scored in this window
+                best_tel['raw_link_mb_s'] = [round(raw_before, 1),
+                                             round(raw_after, 1)]
 
     elapsed = min(readings[WIRE]['times_s'])
     clips_per_sec = readings[WIRE]['clips_per_sec']
