@@ -67,8 +67,12 @@ def train(args):
 
     # train streams ship int16 waveforms (dequantized on device by the
     # jitted step — half the host->device bytes) and fetch with a worker
-    # pool; eval loaders keep the float path
-    train_dataset = AudiosetDataset(dequantize=False)
+    # pool; --train_wire mulaw8/q6 compresses further (up to ~5.2x fewer
+    # h2d bytes/step — the link is the measured train wall,
+    # BENCHMARKS.md) at a small recorded accuracy cost; eval loaders
+    # keep the float path
+    train_wire = getattr(args, 'train_wire', 'int16')
+    train_dataset = AudiosetDataset(dequantize=False, wire=train_wire)
     dataset = AudiosetDataset()
     workers = getattr(args, 'num_workers', 2)
     # batch-size scheme, reproducing the reference expression INCLUDING
@@ -139,7 +143,8 @@ def train(args):
         model, losses_lib.get_loss_func(args.loss_type),
         losses_lib.get_loss_func('frame_bce'),
         mixup=mixup, timeshift=timeshift, spec_augment=spec_augment,
-        mesh=mesh, loss_scale='dynamic' if use_loss_scale else None)
+        mesh=mesh, loss_scale='dynamic' if use_loss_scale else None,
+        wire_samples=cfg.audio_samples)
     scale_state = init_loss_scale() if use_loss_scale else None
 
     evaluator = Evaluator(model, EVAL_SED_PARAMS,
@@ -427,6 +432,16 @@ def get_parser() -> argparse.ArgumentParser:
             sub.add_argument('--num_workers', type=int, default=2,
                              help='data-loader fetch threads (the '
                                   'reference uses 8 torch workers)')
+            sub.add_argument('--train_wire', type=str, default='int16',
+                             choices=['int16', 'mulaw8', 'q6', 'q5',
+                                      'q4'],
+                             help='waveform wire format for train '
+                                  'batches, dequantized on device: '
+                                  'int16 (exact, default), mulaw8 '
+                                  '(2x fewer h2d bytes), q6/q5/q4 '
+                                  'block-scaled (~5.2-7.8x fewer); '
+                                  'the link is the measured train '
+                                  'wall (BENCHMARKS.md)')
     return parser
 
 

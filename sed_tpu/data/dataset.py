@@ -32,16 +32,41 @@ class AudiosetDataset:
     concurrently.  With ``dequantize=False`` waveforms stay int16 as
     packed — the jitted train step dequantizes on device, halving the
     host->device bytes per batch.
+
+    ``wire`` further compresses the batches the workers hand to the
+    device: 'mulaw8' (1 byte/sample G.711) or 'q6'/'q5'/'q4' (N-bit
+    block-scaled, ``audio_io.qn_encode``) — the train step's device-side
+    ``ops/wire.dequant_wire`` recognizes all of them.  The tunnel link
+    is the measured e2e train wall (BENCHMARKS.md round-3), so q6 cuts
+    the per-step h2d bytes ~5.2x vs int16 at a small recorded accuracy
+    cost; default None ships exact int16.  Implies dequantize=False.
     """
 
-    def __init__(self, dequantize: bool = True):
+    def __init__(self, dequantize: bool = True,
+                 wire: Optional[str] = None):
         # thread-local caches: a dead thread's handles lose their last
         # strong reference and close via GC (h5py closes on __del__), so
         # re-iterated loaders don't accumulate open descriptors
         self._tls = threading.local()
         self._all: List[weakref.ref] = []   # for close() across threads
         self._lock = threading.Lock()
-        self.dequantize = dequantize
+        assert wire in (None, 'int16', 'mulaw8', 'q4', 'q5', 'q6'), wire
+        if wire == 'int16':
+            wire = None          # int16 IS the packed storage format
+            dequantize = False
+        self.wire = wire
+        self.dequantize = dequantize and wire is None
+
+    def _encode_wire(self, wav_int16: np.ndarray) -> np.ndarray:
+        """(B, S) or (S,) int16 -> the configured wire bytes."""
+        from sed_tpu.data import audio_io
+        one = wav_int16.ndim == 1
+        w = wav_int16[None] if one else wav_int16
+        if self.wire == 'mulaw8':
+            out = audio_io.mulaw_encode(w.astype(np.float32) / 32767.0)
+        else:
+            out = audio_io.qn_encode(w, int(self.wire[1]))
+        return out[0] if one else out
 
     def _file(self, path: str) -> h5py.File:
         cache = getattr(self._tls, 'handles', None)
@@ -59,9 +84,13 @@ class AudiosetDataset:
         hf = self._file(meta['hdf5_path'])
         i = meta['index_in_hdf5']
         wav = hf['waveform'][i]
+        if self.wire is not None:
+            wav = self._encode_wire(wav)
+        elif self.dequantize:
+            wav = int16_to_float32(wav)
         data = {
             'audio_name': hf['audio_name'][i].decode(),
-            'waveform': int16_to_float32(wav) if self.dequantize else wav,
+            'waveform': wav,
             'target': hf['target'][i].astype(np.float32),
         }
         if 'strong_target' in hf:
@@ -88,10 +117,14 @@ class AudiosetDataset:
         hf = self._file(path)
         uniq, inverse = np.unique(idx, return_inverse=True)
         wav = hf['waveform'][uniq][inverse]
+        if self.wire is not None:
+            wav = self._encode_wire(wav)
+        elif self.dequantize:
+            wav = int16_to_float32(wav)
         data = {
             'audio_name': np.array(
                 [n.decode() for n in hf['audio_name'][uniq]])[inverse],
-            'waveform': int16_to_float32(wav) if self.dequantize else wav,
+            'waveform': wav,
             'target': hf['target'][uniq].astype(np.float32)[inverse],
         }
         if 'strong_target' in hf:

@@ -1,0 +1,90 @@
+"""Device-side dequantization of compressed audio wire formats.
+
+The tunnel/PCIe link that feeds the chip is the measured wall for BOTH
+serving (BENCHMARKS.md round-3 probe: e2e = bytes / link_bw + fixed)
+and training (a 24+8-clip joint step ships 10.24 MB of int16 PCM —
+more than 100x the device compute time at slow link phases).  Shipping
+a narrower wire and dequantizing on device trades a few elementwise
+device ops (negligible: the decode fuses into the frontend matmuls)
+for a proportional cut in link bytes.
+
+Wire formats, recognized from dtype + buffer width:
+
+* float32 — passthrough.
+* int16 PCM — exact `x / 32767` dequant (2 bytes/sample, the training
+  default; `utils/utilities.py` int16_to_float32 parity).
+* uint8 G.711 mu-law — 256-entry table gather (1 byte/sample, lossy
+  telephony codec).
+* uint8 qN block-scaled (N in QN_BITS) — N-bit mantissas per
+  128-sample block with float16 scales packed into the same buffer
+  (`audio_io.qn_encode`); q6 is ~2.6x narrower than float32.  The
+  decode is PURE ELEMENTWISE (static slices per bit-phase group): a
+  gather-based decode measured ~150 ms per 256-clip batch of device
+  time, this formulation is free.
+
+This is the single implementation used by the serving engine
+(`serve/engine.py`) and the train step (`train/step.py`).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from sed_tpu.data import audio_io
+
+__all__ = ['dequant_wire', 'wire_widths']
+
+
+def wire_widths(samples: int) -> dict:
+    """Map uint8 wire width -> qN bit count for a clip of `samples`."""
+    if samples % audio_io.Q4_BLOCK != 0:
+        return {}
+    return {audio_io.qn_bytes(samples, n): n for n in audio_io.QN_BITS}
+
+
+def dequant_wire(wav, samples: int = None):
+    """Dequantize a (B, W) wire buffer to (B, samples) float32.
+
+    `samples` is the decoded clip length; defaults to ``wav.shape[-1]``
+    (correct for float32/int16/mu-law, where width == samples, but
+    REQUIRED for qN wires whose width is narrower).  uint8 buffers are
+    decoded as qN when their width matches ``qn_bytes(samples, N)`` for
+    some supported N, else as mu-law.
+    """
+    if samples is None:
+        samples = wav.shape[-1]
+    width_bits = wire_widths(samples)
+    if wav.dtype == jnp.int16:
+        return wav.astype(jnp.float32) / 32767.0
+    if wav.dtype == jnp.uint8 and wav.shape[-1] in width_bits:
+        bits = width_bits[wav.shape[-1]]
+        b = wav.shape[0]
+        nb = samples * bits // 8
+        top = (1 << (bits - 1)) - 1
+        scale = jax.lax.bitcast_convert_type(
+            wav[:, nb:].reshape(b, -1, 2),
+            jnp.float16).astype(jnp.float32)           # (B, S/128)
+        # big-endian bitstream: sample i = bits [i*bits, ..).  Groups
+        # repeat every lcm(8, bits) bits, so each sample's byte offsets
+        # within a group are STATIC slices.
+        gbytes = bits // math.gcd(8, bits)
+        gsamples = gbytes * 8 // bits
+        codes = wav[:, :nb].astype(jnp.int32).reshape(
+            b, nb // gbytes, gbytes)
+        parts = []
+        for k in range(gsamples):
+            j = (k * bits) >> 3
+            sh = 16 - bits - ((k * bits) & 7)
+            hi = codes[:, :, j]
+            lo = codes[:, :, min(j + 1, gbytes - 1)]
+            parts.append((((hi << 8) | lo) >> sh) & ((1 << bits) - 1))
+        q = jnp.stack(parts, axis=-1).reshape(b, samples)
+        x = (q - top - 1).astype(jnp.float32)
+        x = x.reshape(b, samples // audio_io.Q4_BLOCK,
+                      audio_io.Q4_BLOCK) * scale[:, :, None]
+        return x.reshape(b, samples)
+    if wav.dtype == jnp.uint8:
+        table = jnp.asarray(audio_io.mulaw_decode_table())
+        return jnp.take(table, wav.astype(jnp.int32))
+    return wav

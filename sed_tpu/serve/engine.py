@@ -14,7 +14,6 @@ zero-padded window.
 
 from __future__ import annotations
 
-import math
 import os
 import queue
 import threading
@@ -32,6 +31,7 @@ import sed_tpu.post.events as post_events
 import sed_tpu.post.merge as post_merge
 import sed_tpu.post.vad as vad
 from sed_tpu.post import xml_writer
+from sed_tpu.ops import wire as wire_ops
 
 
 def window_starts(duration: float, sample_duration: int,
@@ -139,57 +139,17 @@ class SedInferenceEngine:
         # detected host-side and falls back to the all-tracks pull.
         self._topk_capacity = 2 * batch_size
 
-        mulaw_table = jnp.asarray(audio_io.mulaw_decode_table())
-
         def _prep(wav, samples=None):
             # quantized wire formats are dequantized on device: int16 PCM
             # (exact, halves host->device traffic vs float32), uint8 G.711
             # mu-law (lossy telephony codec, quarters it; one 256-entry
             # table gather), and N-bit block-scaled qN wires (q6 ~2.6x,
-            # q5 ~3.1x, q4 ~3.9x less than float32; two byte-gathers +
-            # shift/mask + multiply) — recognized by their narrower wire
-            # width (audio_io.qn_encode packs the f16 block scales into
-            # the same buffer)
-            if samples is None:
-                samples = self.window_samples
-            width_bits = {audio_io.qn_bytes(samples, n): n
-                          for n in audio_io.QN_BITS
-                          if samples % audio_io.Q4_BLOCK == 0}
-            if wav.dtype == jnp.int16:
-                wav = wav.astype(jnp.float32) / 32767.0
-            elif wav.dtype == jnp.uint8 and wav.shape[-1] in width_bits:
-                bits = width_bits[wav.shape[-1]]
-                b = wav.shape[0]
-                nb = samples * bits // 8
-                top = (1 << (bits - 1)) - 1
-                scale = jax.lax.bitcast_convert_type(
-                    wav[:, nb:].reshape(b, -1, 2),
-                    jnp.float16).astype(jnp.float32)       # (B, S/128)
-                # big-endian bitstream: sample i = bits [i*bits, ..).
-                # Groups repeat every lcm(8, bits) bits, so each sample's
-                # byte offsets within a group are STATIC slices (a
-                # gather-based decode measured ~150 ms/batch of device
-                # time; this is pure elementwise).
-                gbytes = bits // math.gcd(8, bits)
-                gsamples = gbytes * 8 // bits
-                codes = wav[:, :nb].astype(jnp.int32).reshape(
-                    b, nb // gbytes, gbytes)
-                parts = []
-                for k in range(gsamples):
-                    j = (k * bits) >> 3
-                    sh = 16 - bits - ((k * bits) & 7)
-                    hi = codes[:, :, j]
-                    lo = codes[:, :, min(j + 1, gbytes - 1)]
-                    parts.append((((hi << 8) | lo) >> sh) & ((1 << bits)
-                                                             - 1))
-                q = jnp.stack(parts, axis=-1).reshape(b, samples)
-                x = (q - top - 1).astype(jnp.float32)
-                x = x.reshape(b, samples // audio_io.Q4_BLOCK,
-                              audio_io.Q4_BLOCK) * scale[:, :, None]
-                wav = x.reshape(b, samples)
-            elif wav.dtype == jnp.uint8:
-                wav = jnp.take(mulaw_table, wav.astype(jnp.int32))
-            return wav
+            # q5 ~3.1x, q4 ~3.9x less than float32) — recognized by
+            # their narrower wire width.  Shared with the train step:
+            # sed_tpu/ops/wire.py.
+            return wire_ops.dequant_wire(
+                wav, samples if samples is not None
+                else self.window_samples)
         self._prep = _prep
 
         self.mesh = mesh

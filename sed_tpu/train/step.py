@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from sed_tpu.augment import functional as aug
+from sed_tpu.ops import wire as wire_ops
 from sed_tpu.parallel import mesh as mesh_lib
 from sed_tpu.train.state import SedTrainState
 
@@ -62,7 +63,8 @@ def make_train_step(model, weak_loss_func: Callable,
                     timeshift: bool, spec_augment: bool,
                     mesh=None, donate: bool = True,
                     state_sharding=None,
-                    loss_scale: Optional[Union[str, float]] = None):
+                    loss_scale: Optional[Union[str, float]] = None,
+                    wire_samples: Optional[int] = None):
     """Build a jitted joint weak+strong train step.
 
     Returns ``step(state, weak_batch, strong_batch, rng) ->
@@ -88,11 +90,13 @@ def make_train_step(model, weak_loss_func: Callable,
             variables['batch_stats'] = batch_stats
         k1, k2 = jax.random.split(rng)
         lam = batch.get('mixup_lambda') if mixup else None
-        wav = batch['waveform']
-        if wav.dtype == jnp.int16:
-            # int16 PCM shipped as-is from the HDF5 (half the host->device
-            # bytes); dequantized on device (hdf5_pack.int16_to_float32)
-            wav = wav.astype(jnp.float32) / 32767.0
+        # compressed wire batches (int16 PCM as-is from the HDF5, or
+        # opt-in mu-law/qN from the loader's --train_wire) dequantize
+        # on device: the tunnel link is the measured train wall
+        # (BENCHMARKS.md), and the decode fuses into the frontend.
+        # `wire_samples` names the decoded clip length for the
+        # narrower-than-samples qN buffers (sed_tpu/ops/wire.py).
+        wav = wire_ops.dequant_wire(batch['waveform'], wire_samples)
         out, mutated = model.apply(
             variables, wav, train=True,
             mixup_lambda=lam, timeshift=timeshift,

@@ -1,0 +1,96 @@
+"""Compressed train-wire tests: device dequant parity + train-step use.
+
+The tunnel link is the measured e2e train wall (BENCHMARKS.md round-3:
+a 24+8-clip joint step ships 10.24 MB of int16 at 20-40 MB/s link
+phases while device compute is ~1-2 ms).  ``--train_wire mulaw8/q6``
+ships the loader batches compressed and dequantizes on device via the
+SAME ``ops/wire.dequant_wire`` the serving engine uses.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sed_tpu import losses
+from sed_tpu.config import AUDIO_16K, CLASSES_NUM
+from sed_tpu.data import audio_io
+from sed_tpu.data.dataset import AudiosetDataset
+from sed_tpu.data.hdf5_pack import int16_to_float32
+from sed_tpu.models.registry import get_model
+from sed_tpu.ops import wire
+from sed_tpu.train.state import create_train_state
+from sed_tpu.train.step import make_train_step
+
+
+def test_dequant_wire_matches_host_decoders():
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, (4, 1280)).astype(np.float32)
+    for bits in audio_io.QN_BITS:
+        buf = audio_io.qn_encode(x, bits)
+        ref = audio_io.qn_decode_np(buf, 1280, bits)
+        got = np.asarray(wire.dequant_wire(jnp.asarray(buf), 1280))
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+    i16 = (np.clip(x, -1, 1) * 32767).astype(np.int16)
+    np.testing.assert_allclose(
+        np.asarray(wire.dequant_wire(jnp.asarray(i16))),
+        i16.astype(np.float32) / 32767.0, rtol=1e-6)
+    mu = audio_io.mulaw_encode(x)
+    np.testing.assert_allclose(
+        np.asarray(wire.dequant_wire(jnp.asarray(mu), 1280)),
+        audio_io.mulaw_decode_table()[mu], atol=1e-7)
+    # float32 passthrough
+    np.testing.assert_array_equal(
+        np.asarray(wire.dequant_wire(jnp.asarray(x))), x)
+
+
+def test_dataset_wire_encode_roundtrip():
+    ds = AudiosetDataset(wire='q6')
+    rng = np.random.RandomState(1)
+    w = (rng.uniform(-1, 1, (3, 1280)) * 32767).astype(np.int16)
+    enc = ds._encode_wire(w)
+    np.testing.assert_array_equal(enc, audio_io.qn_encode(w, 6))
+    # 1-D convenience path used by __getitem__
+    np.testing.assert_array_equal(ds._encode_wire(w[0]), enc[0])
+    # 'int16' is an alias for the packed storage format (no re-encode)
+    ds16 = AudiosetDataset(wire='int16')
+    assert ds16.wire is None and ds16.dequantize is False
+    mu = AudiosetDataset(wire='mulaw8')._encode_wire(w)
+    assert mu.dtype == np.uint8 and mu.shape == w.shape
+
+
+def test_train_step_q6_wire_close_to_int16():
+    """One jitted step on q6-wire batches runs, stays finite, and the
+    loss lands near the exact-int16 step's (q6 block-scaled audio is a
+    small perturbation of the waveform, not a different pipeline)."""
+    cfg = AUDIO_16K
+    model = get_model('Cnn_9layers_FrameAvg', cfg)
+    rng = np.random.RandomState(0)
+    n = cfg.sample_rate            # 1 s clips: 16000 % 128 == 0
+    wav16 = (rng.uniform(-0.5, 0.5, (2, n)) * 32767).astype(np.int16)
+    target = (rng.rand(2, CLASSES_NUM) > 0.8).astype(np.float32)
+    strong_t = (rng.rand(2, 100, CLASSES_NUM) > 0.9).astype(np.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.asarray(int16_to_float32(wav16)))
+    step = make_train_step(model, losses.clip_bce, losses.frame_bce,
+                           mixup=False, timeshift=False,
+                           spec_augment=False, donate=False,
+                           wire_samples=n)
+    key = jax.random.PRNGKey(1)
+    _, m16 = step(state, {'waveform': wav16, 'target': target},
+                  [{'waveform': wav16.copy(), 'strong_target': strong_t}],
+                  key)
+    q6 = audio_io.qn_encode(wav16, 6)
+    _, mq = step(state, {'waveform': q6, 'target': target},
+                 [{'waveform': q6.copy(), 'strong_target': strong_t}],
+                 key)
+    l16, lq = float(m16['loss']), float(mq['loss'])
+    assert np.isfinite(lq)
+    assert abs(lq - l16) < 0.02 * max(1.0, abs(l16)), (l16, lq)
+
+
+def test_train_wire_cli_flag_parses():
+    from sed_tpu.cli.main_strong import get_parser
+    args = get_parser().parse_args(
+        ['train', '--dataset_dir', 'd', '--workspace', 'w',
+         '--model_type', 'Cnn_9layers_FrameAvg', '--train_wire', 'q6'])
+    assert args.train_wire == 'q6'
