@@ -72,6 +72,11 @@ def train(args):
     # BENCHMARKS.md) at a small recorded accuracy cost; eval loaders
     # keep the float path
     train_wire = getattr(args, 'train_wire', 'int16')
+    if train_wire != 'int16' and args.feature_type == 'gamma':
+        raise SystemExit(
+            "--train_wire: mu-law/qN wires compress raw AUDIO; "
+            "feature_type='gamma' packs precomputed gammatone features "
+            "as 'waveform' (data/hdf5_pack.py) — use the default int16")
     train_dataset = AudiosetDataset(dequantize=False, wire=train_wire)
     dataset = AudiosetDataset()
     workers = getattr(args, 'num_workers', 2)

@@ -62,6 +62,10 @@ class AudiosetDataset:
         from sed_tpu.data import audio_io
         one = wav_int16.ndim == 1
         w = wav_int16[None] if one else wav_int16
+        assert w.ndim == 2, (
+            'wire compression applies to raw audio (B, S); got shape '
+            f'{wav_int16.shape} — gamma-feature batches must use the '
+            'int16 default')
         if self.wire == 'mulaw8':
             out = audio_io.mulaw_encode(w.astype(np.float32) / 32767.0)
         else:

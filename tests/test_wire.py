@@ -94,3 +94,13 @@ def test_train_wire_cli_flag_parses():
         ['train', '--dataset_dir', 'd', '--workspace', 'w',
          '--model_type', 'Cnn_9layers_FrameAvg', '--train_wire', 'q6'])
     assert args.train_wire == 'q6'
+
+
+def test_train_wire_rejected_for_gamma_features():
+    import pytest
+    from sed_tpu.cli import main_strong
+    with pytest.raises(SystemExit, match='gamma'):
+        main_strong.main(
+            ['train', '--dataset_dir', 'd', '--workspace', 'w',
+             '--model_type', 'Cnn_9layers_FrameAvg',
+             '--feature_type', 'gamma', '--train_wire', 'q6'])
