@@ -69,7 +69,14 @@ class AudiosetDataset:
         if self.wire == 'mulaw8':
             out = audio_io.mulaw_encode(w.astype(np.float32) / 32767.0)
         else:
-            out = audio_io.qn_encode(w, int(self.wire[1]))
+            # PER-CLIP encode on purpose: one (24, 160000) batch
+            # qn_encode builds ~23 MB of bit-matrix intermediates and
+            # measured ~6x slower per clip than cache-sized per-clip
+            # encodes on the 1-vCPU host (BENCHMARKS.md host-memory
+            # pathology)
+            bits = int(self.wire[1])
+            out = np.stack([audio_io.qn_encode(row[None], bits)[0]
+                            for row in w])
         return out[0] if one else out
 
     def _file(self, path: str) -> h5py.File:
