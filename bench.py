@@ -203,8 +203,16 @@ def run_pass(engine, paths, read, names, telemetry=None):
             telemetry=telemetry)
 
     def batches():
+        # row-fill, not np.stack (np.stack degrades badly past ~tens of
+        # MB on this host, BENCHMARKS.md)
         for i in range(0, len(paths), BATCH):
-            yield np.stack([read(p) for p in paths[i:i + BATCH]])
+            chunk = paths[i:i + BATCH]
+            first = read(chunk[0])
+            buf = np.empty((len(chunk),) + first.shape, first.dtype)
+            buf[0] = first
+            for j, p in enumerate(chunk[1:], 1):
+                buf[j] = read(p)
+            yield buf
 
     return engine.predict_clips_stream(batches(), names=names)
 

@@ -23,6 +23,7 @@ import numpy as np
 
 from sed_tpu import losses as losses_lib
 from sed_tpu.cli import common
+from sed_tpu.data import audio_io
 from sed_tpu.config import CLASSES_NUM, EVAL_SED_PARAMS, SedParams
 from sed_tpu.data.dataset import (AudiosetDataset, DataLoader, TestSampler,
                                   TrainSampler, cycle_iteration)
@@ -347,7 +348,7 @@ def inference_prob_overlap(args):
         t0 = time.time()
         pairs = list(_test_clip_waveforms(args, cfg))
         names = [n for n, _ in pairs]
-        wavs = np.stack([a for _, a in pairs])
+        wavs = audio_io.stack_rows(a for _, a in pairs)
         # fully on-device: window slicing, forward, overlap-add merge,
         # coverage normalization, packed-mask gathers
         per_clip = engine.predict_clips_windowed(

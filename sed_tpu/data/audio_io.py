@@ -395,3 +395,18 @@ def pad_truncate(x: np.ndarray, max_len: int) -> np.ndarray:
         return np.concatenate(
             (x, np.zeros(max_len - len(x), dtype=x.dtype)))
     return x[:max_len]
+
+
+def stack_rows(arrays) -> np.ndarray:
+    """``np.stack`` for 1-D rows via row-wise fill of a preallocated
+    buffer.  NumPy's multi-array concatenate path degrades past ~tens
+    of MB on the bench host (measured 17 MB/s vs 1.1+ GB/s for this
+    formulation, BENCHMARKS.md) — use this for any corpus-sized stack
+    on a hot path."""
+    arrays = list(arrays)
+    first = np.asarray(arrays[0])
+    out = np.empty((len(arrays),) + first.shape, first.dtype)
+    out[0] = first
+    for i, a in enumerate(arrays[1:], 1):
+        out[i] = a
+    return out

@@ -440,7 +440,8 @@ class SedInferenceEngine:
                 all_windows.append(audio_io.pad_truncate(
                     audio[int(s * sr):int(s * sr) + self.window_samples],
                     self.window_samples))
-        framewise, _ = self.infer_framewise(np.stack(all_windows))
+        framewise, _ = self.infer_framewise(
+            audio_io.stack_rows(all_windows))
         events: List[dict] = []
         for name, i0, n_win in spans:
             merged = post_merge.overlap_add_windows(
@@ -1218,7 +1219,14 @@ class SedInferenceEngine:
                 if not pend:
                     return True
                 if group > 1 and len(pend) == group:
-                    stacked = jnp.asarray(np.stack(pend))
+                    # row-fill, not np.stack: NumPy's multi-array
+                    # concatenate path degrades badly past ~tens of MB
+                    # on this class of host (BENCHMARKS.md)
+                    g = np.empty((len(pend),) + pend[0].shape,
+                                 pend[0].dtype)
+                    for gi, c in enumerate(pend):
+                        g[gi] = c
+                    stacked = jnp.asarray(g)
                     if topk:
                         dev = self._forward_packed_topk_group(
                             self.variables, stacked)
