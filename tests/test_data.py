@@ -338,3 +338,18 @@ def test_get_batch_hyperslab_matches_per_item(tmp_path):
         batches = list(loader)
         assert sum(b['waveform'].shape[0] for b in batches) == 16
         ds.close()
+
+
+def test_stack_rows_matches_np_stack():
+    """audio_io.stack_rows is the hot-path replacement for np.stack
+    (NumPy's multi-array path degrades past ~tens of MB on the bench
+    host, BENCHMARKS.md) — must be value- and dtype-identical."""
+    rng = np.random.RandomState(0)
+    for dtype in (np.int16, np.uint8, np.float32):
+        rows = [rng.randint(0, 100, 37).astype(dtype) for _ in range(5)]
+        got = audio_io.stack_rows(rows)
+        np.testing.assert_array_equal(got, np.stack(rows))
+        assert got.dtype == dtype
+    # generator input
+    np.testing.assert_array_equal(
+        audio_io.stack_rows(r for r in rows), np.stack(rows))
