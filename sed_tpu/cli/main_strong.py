@@ -52,6 +52,14 @@ def train(args):
     from sed_tpu.train.state import create_train_state
     from sed_tpu.train.step import init_loss_scale, make_train_step
 
+    train_wire = getattr(args, 'train_wire', 'int16')
+    if train_wire != 'int16' and args.feature_type == 'gamma':
+        # validate BEFORE creating any workspace directories
+        raise SystemExit(
+            "--train_wire: mu-law/qN wires compress raw AUDIO; "
+            "feature_type='gamma' packs precomputed gammatone features "
+            "as 'waveform' (data/hdf5_pack.py) — use the default int16")
+
     cfg, ws = common.resolve(args)
     mixup = 'mixup' in args.augmentation
     timeshift = 'timeshift' in args.augmentation
@@ -72,12 +80,6 @@ def train(args):
     # h2d bytes/step — the link is the measured train wall,
     # BENCHMARKS.md) at a small recorded accuracy cost; eval loaders
     # keep the float path
-    train_wire = getattr(args, 'train_wire', 'int16')
-    if train_wire != 'int16' and args.feature_type == 'gamma':
-        raise SystemExit(
-            "--train_wire: mu-law/qN wires compress raw AUDIO; "
-            "feature_type='gamma' packs precomputed gammatone features "
-            "as 'waveform' (data/hdf5_pack.py) — use the default int16")
     train_dataset = AudiosetDataset(dequantize=False, wire=train_wire)
     dataset = AudiosetDataset()
     workers = getattr(args, 'num_workers', 2)
