@@ -203,16 +203,11 @@ def run_pass(engine, paths, read, names, telemetry=None):
             telemetry=telemetry)
 
     def batches():
-        # row-fill, not np.stack (np.stack degrades badly past ~tens of
-        # MB on this host, BENCHMARKS.md)
+        from sed_tpu.data import audio_io
+        # row-fill, not np.stack (audio_io.stack_rows docs)
         for i in range(0, len(paths), BATCH):
-            chunk = paths[i:i + BATCH]
-            first = read(chunk[0])
-            buf = np.empty((len(chunk),) + first.shape, first.dtype)
-            buf[0] = first
-            for j, p in enumerate(chunk[1:], 1):
-                buf[j] = read(p)
-            yield buf
+            yield audio_io.stack_rows(read(p)
+                                      for p in paths[i:i + BATCH])
 
     return engine.predict_clips_stream(batches(), names=names)
 
@@ -262,8 +257,7 @@ def main():
     names = [f'clip{i:05d}.wav' for i in range(N_CLIPS)]
     wires = [WIRE] + ([w for w in ('int16', 'mulaw8') if w != WIRE]
                       if SECONDARY else [])
-    files = {w: write_wire_files(clips, sr, w, tmpdir) for w in wires}
-    stage('wire files written')
+    files = {}
 
     # The serving link's throughput fluctuates over time; take the best
     # of N passes per wire.  The HEADLINE wire warms up and runs its
@@ -274,6 +268,11 @@ def main():
     readings, best_tel, events = {}, {}, None
     raw_before = raw_after = None
     for w in wires:
+        # write each wire's corpus only when its turn comes — the
+        # secondary wires' ~1 GB of wav writes must not delay the
+        # headline's first timed draw past the launch-time link phase
+        files[w] = write_wire_files(clips, sr, w, tmpdir)
+        stage(f'{w} files written')
         paths, read = files[w]
         # Warm up compile + caches per wire dtype/width (untimed): each
         # wire width/dtype is a distinct resident program, so one

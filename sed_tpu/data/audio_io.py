@@ -408,5 +408,12 @@ def stack_rows(arrays) -> np.ndarray:
     out = np.empty((len(arrays),) + first.shape, first.dtype)
     out[0] = first
     for i, a in enumerate(arrays[1:], 1):
+        a = np.asarray(a)
+        if a.shape != first.shape or a.dtype != first.dtype:
+            # match np.stack's loudness — assignment alone would
+            # silently cast mismatched dtypes or broadcast length-1 rows
+            raise ValueError(
+                f'stack_rows: row {i} has shape {a.shape} dtype '
+                f'{a.dtype}, expected {first.shape} {first.dtype}')
         out[i] = a
     return out

@@ -67,7 +67,9 @@ class AudiosetDataset:
             f'{wav_int16.shape} — gamma-feature batches must use the '
             'int16 default')
         if self.wire == 'mulaw8':
-            out = audio_io.mulaw_encode(w.astype(np.float32) / 32767.0)
+            # mulaw_encode takes int16 natively (exact table lookup; a
+            # float32 round-trip would truncate 1-LSB samples)
+            out = audio_io.mulaw_encode(w)
         else:
             # PER-CLIP encode on purpose: one (24, 160000) batch
             # qn_encode builds ~23 MB of bit-matrix intermediates and
@@ -96,6 +98,12 @@ class AudiosetDataset:
         i = meta['index_in_hdf5']
         wav = hf['waveform'][i]
         if self.wire is not None:
+            # a single item must be 1-D raw audio; a 2-D item here is a
+            # gamma feature matrix which must NOT be companded (the
+            # batch path's rank check would mistake it for (B, S))
+            assert wav.ndim == 1, (
+                f'wire compression applies to raw audio; item shape '
+                f'{wav.shape} looks like packed gamma features')
             wav = self._encode_wire(wav)
         elif self.dequantize:
             wav = int16_to_float32(wav)

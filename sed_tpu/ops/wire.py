@@ -47,11 +47,18 @@ def dequant_wire(wav, samples: int = None):
     """Dequantize a (B, W) wire buffer to (B, samples) float32.
 
     `samples` is the decoded clip length; defaults to ``wav.shape[-1]``
-    (correct for float32/int16/mu-law, where width == samples, but
-    REQUIRED for qN wires whose width is narrower).  uint8 buffers are
-    decoded as qN when their width matches ``qn_bytes(samples, N)`` for
-    some supported N, else as mu-law.
+    for float32/int16 (where width == samples) and is REQUIRED for
+    uint8 buffers — a qN buffer whose width happened to be taken as
+    `samples` would silently mis-decode through the mu-law table.
+    uint8 buffers are decoded as qN when their width matches
+    ``qn_bytes(samples, N)`` for some supported N, as mu-law when
+    width == samples, and rejected loudly otherwise.
     """
+    if wav.dtype == jnp.uint8 and samples is None:
+        raise ValueError(
+            'dequant_wire: uint8 wire buffers need an explicit '
+            '`samples` (decoded clip length) — the buffer width alone '
+            'cannot distinguish mu-law from the narrower qN wires')
     if samples is None:
         samples = wav.shape[-1]
     width_bits = wire_widths(samples)
@@ -85,6 +92,12 @@ def dequant_wire(wav, samples: int = None):
                       audio_io.Q4_BLOCK) * scale[:, :, None]
         return x.reshape(b, samples)
     if wav.dtype == jnp.uint8:
+        if wav.shape[-1] != samples:
+            raise ValueError(
+                f'dequant_wire: uint8 buffer width {wav.shape[-1]} is '
+                f'neither a qN wire width for {samples} samples '
+                f'({sorted(width_bits)}) nor the mu-law width '
+                f'(== samples)')
         table = jnp.asarray(audio_io.mulaw_decode_table())
         return jnp.take(table, wav.astype(jnp.int32))
     return wav

@@ -1219,14 +1219,8 @@ class SedInferenceEngine:
                 if not pend:
                     return True
                 if group > 1 and len(pend) == group:
-                    # row-fill, not np.stack: NumPy's multi-array
-                    # concatenate path degrades badly past ~tens of MB
-                    # on this class of host (BENCHMARKS.md)
-                    g = np.empty((len(pend),) + pend[0].shape,
-                                 pend[0].dtype)
-                    for gi, c in enumerate(pend):
-                        g[gi] = c
-                    stacked = jnp.asarray(g)
+                    # row-fill, not np.stack (audio_io.stack_rows docs)
+                    stacked = jnp.asarray(audio_io.stack_rows(pend))
                     if topk:
                         dev = self._forward_packed_topk_group(
                             self.variables, stacked)
