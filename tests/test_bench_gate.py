@@ -1,0 +1,116 @@
+"""Unit tests for bench.py's probe-gated headline draw scheduler.
+
+The scheduler is plain host logic once the probe, the pass, and the
+clock are stubbed, so it can be exercised hermetically.  Invariants:
+(a) the first two draws are unconditional, (b) slow-phase probes skip
+draws, (c) a fast-phase probe triggers a draw immediately, (d) the
+reality-check forces a draw even when the gate keeps saying no,
+(e) the draw-time budget caps spend.
+"""
+
+import importlib.util
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def bench(monkeypatch):
+    spec = importlib.util.spec_from_file_location(
+        'bench_under_test',
+        os.path.join(os.path.dirname(__file__), '..', 'bench.py'))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, 'GATE_SLEEP_S', 2.0)
+    monkeypatch.setattr(mod, 'TIME_BUDGET', 1e9)
+    monkeypatch.setattr(mod, 'WALL_BUDGET', 1e9)
+    return mod
+
+
+def _pass_time(bw):
+    # the round-3 finding: the engine pass runs at raw-link speed, so
+    # pass time = bytes / bw + ~1 s fixed (250 MB corpus here)
+    return 250.0 / bw + 1.0
+
+
+def _stub(bench, monkeypatch, probe_bws, max_repeats=6, reality_s=1e9):
+    """Scripted probe sequence + simulated clock.  The fake pass's
+    duration tracks the CURRENT probe reading; sleeps advance the
+    simulated clock so wall budgets stay meaningful."""
+    state = {'bw': probe_bws[0], 'probes': 0, 'passes': [], 't': 1000.0}
+
+    def fake_now():
+        state['t'] += 1e-4
+        return state['t']
+
+    def fake_sleep(s):
+        state['t'] += s
+
+    def fake_probe(mb=8):
+        i = min(state['probes'], len(probe_bws) - 1)
+        state['bw'] = probe_bws[i]
+        state['probes'] += 1
+        return state['bw']
+
+    def fake_pass(engine, paths, read, names, tel=None):
+        if tel is not None:
+            tel.update(bytes_h2d=250_000_000)
+        state['passes'].append(state['bw'])
+        state['t'] += _pass_time(state['bw'])
+        return {'clip': []}, []
+
+    monkeypatch.setattr(bench, '_now', fake_now)
+    monkeypatch.setattr(bench, '_sleep', fake_sleep)
+    monkeypatch.setattr(bench, 'measure_raw_link_mb_s', fake_probe)
+    monkeypatch.setattr(bench, 'run_pass', fake_pass)
+    monkeypatch.setattr(bench, 'MAX_REPEATS', max_repeats)
+    monkeypatch.setattr(bench, 'REALITY_CHECK_S', reality_s)
+    return state
+
+
+def test_first_two_draws_unconditional_no_probe(bench, monkeypatch):
+    state = _stub(bench, monkeypatch, [20.0], max_repeats=2)
+    times, tels, events = bench.gated_headline_draws(
+        None, None, None, None, lambda m: None)
+    assert len(times) == 2
+    assert state['probes'] == 0          # gate never consulted
+    assert events == {'clip': []}
+    assert all(12 < t < 15 for t in times)   # slow-phase pass times
+
+
+def test_slow_probes_skip_then_fast_probe_draws(bench, monkeypatch):
+    # 2 unconditional draws at 20 MB/s, then slow probes (no draws),
+    # then a fast phase arrives and the gate spends a draw on it
+    monkeypatch.setenv('_', '_')
+    state = _stub(bench, monkeypatch,
+                  [20.0, 20.0, 20.0, 500.0], max_repeats=8)
+    monkeypatch.setattr(bench, 'WALL_BUDGET', 60.0)
+    msgs = []
+    times, tels, events = bench.gated_headline_draws(
+        None, None, None, None, msgs.append)
+    assert state['passes'][:2] == [20.0, 20.0]
+    assert 500.0 in state['passes']      # the fast window was spent on
+    assert min(times) < 2.0              # ~1.5 s fast draw recorded
+    assert max(times) > 12.0             # slow draws recorded too
+    assert any('gate probe' in m for m in msgs)
+    assert any('wall budget' in m for m in msgs)
+
+
+def test_reality_check_forces_draw_during_slow_phase(bench, monkeypatch):
+    # gate would skip forever at a uniform slow phase; with the
+    # reality-check window at 0 every probe forces a draw anyway
+    state = _stub(bench, monkeypatch, [20.0], max_repeats=4,
+                  reality_s=0.0)
+    times, _, _ = bench.gated_headline_draws(
+        None, None, None, None, lambda m: None)
+    assert len(times) == 4
+
+
+def test_draw_time_budget_caps_spend(bench, monkeypatch):
+    state = _stub(bench, monkeypatch, [20.0], max_repeats=24,
+                  reality_s=0.0)
+    monkeypatch.setattr(bench, 'TIME_BUDGET', 30.0)
+    times, _, _ = bench.gated_headline_draws(
+        None, None, None, None, lambda m: None)
+    # ~13.5 s/draw: 2 unconditional, then the gate stops at >= 30 s
+    assert len(times) == 3
