@@ -224,9 +224,12 @@ def gated_headline_draws(engine, paths, read, names, stage):
     decode) is learned as the median residual of probed draws.  The
     first two draws are unconditional; after that a full pass is spent
     only when the prediction beats the best draw so far, except for a
-    reality-check draw when the gate has skipped for 60 s.  Returns
-    (times, tels, events)."""
+    reality-check draw when the gate has skipped for 60 s.  Every probe
+    reading is appended to each tel dict's ``gate_probes_mb_s`` so the
+    official JSON shows which link phases the gate saw and skipped.
+    Returns (times, tels, events)."""
     times, tels = [], []
+    probes = []
     events = None
     spent = 0.0
     t_phase = _now()
@@ -248,6 +251,7 @@ def gated_headline_draws(engine, paths, read, names, stage):
                 stage(f'wall budget reached after {i} draws')
                 break
             probe_bw = measure_raw_link_mb_s(PROBE_MB)
+            probes.append(round(probe_bw, 1))
             fixed = float(np.median(fixed_obs)) if fixed_obs else 1.2
             est = (bytes_h2d / 1e6) / max(probe_bw, 1e-3) + fixed
             if (est >= min(times) * 0.98
@@ -269,6 +273,8 @@ def gated_headline_draws(engine, paths, read, names, stage):
             if bytes_h2d:
                 fixed_obs.append(
                     max(0.1, dt - (bytes_h2d / 1e6) / probe_bw))
+    for t in tels:
+        t['gate_probes_mb_s'] = probes   # full phase history, every tel
     return times, tels, events
 
 
@@ -353,11 +359,15 @@ def main():
         stage(f'{w} files written')
         paths, read = files[w]
         # Warm up compile + caches per wire dtype/width (untimed): each
-        # wire width/dtype is a distinct resident program, so one
-        # full-size pass over the real files compiles exactly what the
-        # timed passes run.
+        # wire width/dtype is a distinct resident program.  The resident
+        # warm builds its inputs ON DEVICE (engine.warmup_resident), so
+        # it compiles + executes exactly what the timed passes run
+        # without shipping the corpus through the link — the first timed
+        # draw lands minutes earlier when the link is slow.
         if MODE == 'resident':
-            run_pass(engine, paths, read, names)
+            sample = read(paths[0])
+            engine.warmup_resident(N_CLIPS, sample.shape[0],
+                                   sample.dtype, THREADS)
         else:
             warm = encode_wire(clips[:BATCH], w)
             engine.warmup(warm)

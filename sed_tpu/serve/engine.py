@@ -800,6 +800,36 @@ class SedInferenceEngine:
         per-batch stream capacity)."""
         return 2 * n_clips
 
+    def warmup_resident(self, n_clips: int, width: int, dtype,
+                        upload_threads: int = 2) -> None:
+        """Compile + execute the resident program for this pass shape
+        WITHOUT shipping a corpus through the link.
+
+        The input chunks are created ON DEVICE (``jnp.zeros``), so
+        warming costs one compile (persistent-cached across processes),
+        one launch, and one small pull — instead of the full
+        ``bytes_h2d`` upload a real warm pass would ship.  On a
+        remote-attached device that turns minutes of slow-phase warm
+        upload into seconds, putting the first TIMED pass that much
+        closer to process-launch time.  Must use the same
+        ``n_clips``/``width``/``dtype``/``upload_threads`` as the timed
+        pass (the program cache is keyed on them).
+        """
+        assert self.mesh is None, 'resident paths are single-device'
+        bs = self.batch_size
+        n_batches = -(-n_clips // bs)
+        rows = n_batches * bs
+        k = max(1, min(int(upload_threads), n_clips))
+        base, extra = divmod(rows, k)
+        sizes = tuple(base + (1 if i < extra else 0) for i in range(k))
+        fn = self._resident_pipeline(n_batches, width, np.dtype(dtype),
+                                     sizes)
+        chunks = tuple(jnp.zeros((s, width), np.dtype(dtype))
+                       for s in sizes)
+        out = fn(self.variables, chunks)
+        # warm the d2h pull path too (packed masks / topk buffer)
+        np.asarray(out[0] if isinstance(out, tuple) else out)
+
     def predict_clips_resident(self, wavs: np.ndarray,
                                names: Optional[List[str]] = None,
                                upload_threads: int = 2,

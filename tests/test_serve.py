@@ -380,6 +380,36 @@ def test_files_resident_matches_clips_resident(engine, tmp_path):
         engine.predict_files_resident(paths, bad_reader, names=names)
 
 
+def test_warmup_resident_compiles_the_timed_program(engine, tmp_path):
+    """warmup_resident (device-side zeros inputs, no corpus upload) must
+    compile exactly the program the subsequent timed pass uses — same
+    cache key, no recompile — and leave results identical."""
+    rng = np.random.RandomState(71)
+    wavs = rng.uniform(-0.3, 0.3,
+                       (11, AUDIO_16K.sample_rate * 5)).astype(np.float32)
+    q6 = audio_io.qn_encode(wavs, 6)
+    paths, names = [], [f'w{i}.q6' for i in range(11)]
+    for i in range(11):
+        p = str(tmp_path / f'w{i}.q6')
+        audio_io.save_qn(p, wavs[i], AUDIO_16K.sample_rate, 6)
+        paths.append(p)
+    reader = lambda p: audio_io.read_qn(p)[0]  # noqa: E731
+    want = engine.predict_clips_resident(q6, names=names)
+
+    for pull in ('tracks', 'topk'):
+        eng = SedInferenceEngine(engine.model, engine.variables,
+                                 AUDIO_16K, sample_duration=5,
+                                 overlap=True, batch_size=8,
+                                 pull_format=pull)
+        eng.warmup_resident(11, q6.shape[1], q6.dtype, upload_threads=3)
+        assert len(eng._resident_cache) == 1
+        got = eng.predict_files_resident(paths, reader, names=names,
+                                         upload_threads=3)
+        # the timed pass reused the warm program — no second entry
+        assert len(eng._resident_cache) == 1, pull
+        assert got == want, pull
+
+
 def test_predict_clips_chunking_matches_unchunked(engine):
     """The dispatch-ahead bound (chunked processing of huge inputs) must
     not change results."""
