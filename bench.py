@@ -244,12 +244,14 @@ def gated_headline_draws(engine, paths, read, names, stage):
             stage(f'dead-phase bail after {i} draws '
                   f'({spent:.0f}s draw time)')
             break
+        if i >= 1 and _now() - t_phase >= WALL_BUDGET:
+            # a single dead-phase draw can exceed the whole wall budget;
+            # don't ratify it with a second one
+            stage(f'wall budget reached after {i} draws')
+            break
+        if i >= 2 and spent >= TIME_BUDGET:
+            break
         if i >= 2:
-            if spent >= TIME_BUDGET:
-                break
-            if _now() - t_phase >= WALL_BUDGET:
-                stage(f'wall budget reached after {i} draws')
-                break
             probe_bw = measure_raw_link_mb_s(PROBE_MB)
             probes.append(round(probe_bw, 1))
             fixed = float(np.median(fixed_obs)) if fixed_obs else 1.2

@@ -106,6 +106,18 @@ def test_reality_check_forces_draw_during_slow_phase(bench, monkeypatch):
     assert len(times) == 4
 
 
+def test_dead_phase_first_draw_not_ratified(bench, monkeypatch):
+    # a 0.6 MB/s dead-phase draw takes ~417 s — longer than the whole
+    # wall budget — so the second unconditional draw must be skipped
+    state = _stub(bench, monkeypatch, [0.6], max_repeats=8)
+    monkeypatch.setattr(bench, 'WALL_BUDGET', 360.0)
+    msgs = []
+    times, _, _ = bench.gated_headline_draws(
+        None, None, None, None, msgs.append)
+    assert len(times) == 1
+    assert any('wall budget' in m for m in msgs)
+
+
 def test_draw_time_budget_caps_spend(bench, monkeypatch):
     state = _stub(bench, monkeypatch, [20.0], max_repeats=24,
                   reality_s=0.0)
