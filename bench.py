@@ -33,13 +33,16 @@ Configuration (env vars):
                             3.2 KB/clip — measured 1.44x e2e at N=4096,
                             BENCHMARKS.md); group used by stream mode
   BENCH_CLIPS / BENCH_REPEATS / BENCH_SECONDARY_REPEATS
-  BENCH_MAX_REPEATS / BENCH_TIME_BUDGET  headline passes continue past
-                            BENCH_REPEATS (up to MAX, default 24) while
-                            total headline DRAW time < BUDGET s (default
-                            150); the link's minute-scale phase swings
-                            dominate e2e time, so more same-methodology
-                            draws give a better estimate of the engine's
-                            capability
+                            REPEATS applies to the stream-mode headline;
+                            the resident headline is probe-gated instead
+                            (2 unconditional draws, then draws only on
+                            promising probes)
+  BENCH_MAX_REPEATS / BENCH_TIME_BUDGET  headline draws continue (up to
+                            MAX, default 24) while total headline DRAW
+                            time < BUDGET s (default 150); the link's
+                            minute-scale phase swings dominate e2e time,
+                            so more same-methodology draws give a better
+                            estimate of the engine's capability
   BENCH_WALL_BUDGET         wall-clock cap (s, default 360) on the whole
                             headline phase including probes and sleeps
   BENCH_PROBE_MB            probe upload size for the draw gate
