@@ -938,7 +938,8 @@ class SedInferenceEngine:
     def predict_files_resident(self, paths: Sequence[str], reader,
                                names: Optional[List[str]] = None,
                                upload_threads: int = 4,
-                               telemetry: Optional[dict] = None
+                               telemetry: Optional[dict] = None,
+                               max_pass_clips: Optional[int] = None
                                ) -> Tuple[List[List[dict]], List[str]]:
         """File-list variant of ``predict_clips_resident`` that PIPELINES
         file decode with the uploads: each upload thread reads its slice
@@ -950,6 +951,12 @@ class SedInferenceEngine:
         format ``predict_clips`` accepts); all files must decode to the
         same width/dtype.  Results identical to reading everything first
         and calling ``predict_clips_resident``.
+
+        ``max_pass_clips`` bounds device memory for corpora larger than
+        HBM: the file list is served in resident passes of at most that
+        many clips (full-size passes reuse ONE compiled program; only a
+        smaller final remainder compiles a second).  Results are
+        identical to a single pass; telemetry accumulates across passes.
         """
         assert self.mesh is None, (
             'predict_files_resident is single-device; use predict_clips '
@@ -957,6 +964,27 @@ class SedInferenceEngine:
         n = len(paths)
         if names is None:
             names = [os.path.basename(p) for p in paths]
+        if max_pass_clips is not None and n > int(max_pass_clips):
+            step = int(max_pass_clips)
+            assert step >= 1
+            all_events: List[List[dict]] = []
+            all_xmls: List[str] = []
+            acc: dict = {}
+            for lo in range(0, n, step):
+                hi = min(lo + step, n)
+                tel = {} if telemetry is not None else None
+                ev, xs = self.predict_files_resident(
+                    paths[lo:hi], reader, names=names[lo:hi],
+                    upload_threads=upload_threads, telemetry=tel)
+                all_events.extend(ev)
+                all_xmls.extend(xs)
+                if tel is not None:
+                    for k, v in tel.items():
+                        acc[k] = acc.get(k, 0) + v
+            if telemetry is not None:
+                acc['passes'] = -(-n // step)
+                telemetry.update(acc)
+            return all_events, all_xmls
         first = reader(paths[0])
         width = first.shape[0]
         bs = self.batch_size

@@ -380,6 +380,37 @@ def test_files_resident_matches_clips_resident(engine, tmp_path):
         engine.predict_files_resident(paths, bad_reader, names=names)
 
 
+def test_files_resident_chunked_passes_match_single(engine, tmp_path):
+    """max_pass_clips bounds device memory: serving 23 files in resident
+    passes of <=8 clips must produce results identical to one pass, and
+    every pass must reuse ONE compiled program (pad-to-batch makes the
+    7-clip remainder the same program shape)."""
+    rng = np.random.RandomState(73)
+    wavs = rng.uniform(-0.3, 0.3,
+                       (23, AUDIO_16K.sample_rate * 5)).astype(np.float32)
+    paths, names = [], [f'k{i}.wav' for i in range(23)]
+    for i in range(23):
+        p = str(tmp_path / f'k{i}.q6')
+        audio_io.save_qn(p, wavs[i], AUDIO_16K.sample_rate, 6)
+        paths.append(p)
+    reader = lambda p: audio_io.read_qn(p)[0]  # noqa: E731
+    eng = SedInferenceEngine(engine.model, engine.variables, AUDIO_16K,
+                             sample_duration=5, overlap=True,
+                             batch_size=8, pull_format='topk')
+    want = eng.predict_files_resident(paths, reader, names=names,
+                                      upload_threads=3)
+    cached_before = len(eng._resident_cache)
+    tel = {}
+    got = eng.predict_files_resident(paths, reader, names=names,
+                                     upload_threads=3, telemetry=tel,
+                                     max_pass_clips=8)
+    assert got == want
+    assert tel['passes'] == 3
+    assert tel['rpcs'] == 3 * (3 + 2)
+    # all three chunked passes (8, 8, and padded 7) share ONE program
+    assert len(eng._resident_cache) == cached_before + 1
+
+
 def test_warmup_resident_compiles_the_timed_program(engine, tmp_path):
     """warmup_resident (device-side zeros inputs, no corpus upload) must
     compile exactly the program the subsequent timed pass uses — same
