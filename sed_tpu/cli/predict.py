@@ -76,6 +76,34 @@ def _predict_bulk(args, engine, out_dir, audio_files):
     return audio_files
 
 
+def _predict_resident(args, engine, out_dir, audio_files):
+    """Serve a UNIFORM fixed-length clip corpus via the engine's
+    minimum-RPC resident path (one bulk upload + one launch + one pull
+    per pass; the bench-measured fastest configuration).  Clips must all
+    decode to ``--sample_duration`` seconds in the same wire format
+    (int16/mu-law wav or .qN container, sniffed from the first file)."""
+    from sed_tpu.data import audio_io
+    reader = audio_io.wire_reader_for(audio_files[0])
+    names = [os.path.basename(p) for p in audio_files]
+    t0 = time.time()
+    telemetry = {}
+    events, xmls = engine.predict_files_resident(
+        audio_files, reader, names=names,
+        upload_threads=args.upload_threads,
+        max_pass_clips=args.max_pass_clips or None,
+        telemetry=telemetry)
+    for name, xml in zip(names, xmls):
+        stem = name[:-len('.wav')] if name.endswith('.wav') else \
+            os.path.splitext(name)[0]
+        with open(os.path.join(out_dir, stem + '.xml'), 'w') as f:
+            f.write(xml)
+    n_events = sum(len(e) for e in events)
+    print('Processed {} clips in {:.2f} s ({} events); telemetry: {}'
+          .format(len(audio_files), time.time() - t0, n_events,
+                  telemetry))
+    return audio_files
+
+
 def predict(args):
     cfg, ws = common.resolve(args)
     engine = _build_engine(args, cfg, ws)
@@ -85,6 +113,8 @@ def predict(args):
         os.path.join(args.input_dir, f)
         for f in os.listdir(args.input_dir)
         if not f.startswith('.'))
+    if getattr(args, 'resident', False):
+        return _predict_resident(args, engine, out_dir, audio_files)
     if getattr(args, 'bulk', 0):
         return _predict_bulk(args, engine, out_dir, audio_files)
     for path in audio_files:
@@ -186,6 +216,23 @@ def get_parser():
                                   'off-device per batch (default: the '
                                   "measured-fastest 'topk'; see "
                                   'SedInferenceEngine docs)')
+            sub.add_argument('--resident', action='store_true',
+                             default=False,
+                             help='serve a UNIFORM fixed-length clip '
+                                  'corpus via the minimum-RPC resident '
+                                  'path (one bulk upload + one launch + '
+                                  'one pull per pass — the bench-'
+                                  'measured fastest configuration; all '
+                                  'files must be --sample_duration '
+                                  'clips in one wire format)')
+            sub.add_argument('--upload_threads', type=int, default=4,
+                             help='concurrent device_put streams for '
+                                  '--resident uploads')
+            sub.add_argument('--max_pass_clips', type=int, default=0,
+                             help='bound device memory for --resident: '
+                                  'serve at most this many clips per '
+                                  'resident pass (0 = whole corpus in '
+                                  'one pass)')
         if mode == 'predict_asr':
             sub.add_argument('--asr_language', type=str, default='en-SG')
     return parser

@@ -397,6 +397,37 @@ def pad_truncate(x: np.ndarray, max_len: int) -> np.ndarray:
     return x[:max_len]
 
 
+def _wav_format_tag(path: str) -> int:
+    """Peek a RIFF wav's fmt-chunk format tag (1=PCM, 7=mu-law).
+    Returns 0 for non-RIFF files."""
+    with open(path, 'rb') as f:
+        buf = f.read(4096)
+    if buf[:4] != b'RIFF' or buf[8:12] != b'WAVE':
+        return 0
+    pos = 12
+    while pos + 8 <= len(buf):
+        if buf[pos:pos + 4] == b'fmt ':
+            return int.from_bytes(buf[pos + 8:pos + 10], 'little')
+        size = int.from_bytes(buf[pos + 4:pos + 8], 'little')
+        pos += 8 + size + (size & 1)
+    return 0
+
+
+def wire_reader_for(path: str):
+    """Pick the serving-wire reader for a corpus by sniffing one file:
+    ``.q4/.q5/.q6`` containers -> qN codes, mu-law wav (format tag 7) ->
+    raw G.711 codes, other wavs -> int16 PCM.  The returned
+    ``reader(path) -> 1-D wire array`` feeds
+    ``SedInferenceEngine.predict_files_resident`` (the engine
+    dequantizes on device)."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in ('.q4', '.q5', '.q6'):
+        return lambda p: read_qn(p)[0]
+    if _wav_format_tag(path) == 7:
+        return lambda p: fast_read_wav_mulaw(p)[0]
+    return lambda p: fast_read_wav_int16(p)[0]
+
+
 def stack_rows(arrays) -> np.ndarray:
     """``np.stack`` for 1-D rows via row-wise fill of a preallocated
     buffer.  NumPy's multi-array concatenate path degrades past ~tens

@@ -189,6 +189,59 @@ def test_05b_predict_cli_bulk_matches_per_file(dataset_dir, workspace):
     assert bulk == baseline
 
 
+def test_05c_predict_cli_resident_uniform_corpus(dataset_dir, workspace):
+    """--resident serves a uniform fixed-length clip corpus via the
+    minimum-RPC bulk path.  The CLI's XMLs must equal a direct
+    engine-level predict_files_resident call on the same wire, and
+    --max_pass_clips chunking must not change them."""
+    import shutil
+    input_dir = os.path.join(dataset_dir, 'testing')
+    out_dir = os.path.join(workspace, 'predict_results')
+
+    # library-level oracle on the same int16 wire (10 s files = one
+    # resident clip each at --sample_duration 10)
+    from sed_tpu.cli import common as cli_common
+    from sed_tpu.serve.engine import SedInferenceEngine
+    from sed_tpu.config import AUDIO_16K, PREDICT_SED_PARAMS
+    ns = predict_cli.get_parser().parse_args(
+        ['predict', '--input_dir', input_dir, '--workspace', workspace,
+         *COMMON, '--sample_duration', '10', '--resident'])
+    cfg, ws = cli_common.resolve(ns)
+    model, variables = cli_common.build_model_and_variables(
+        ns, cfg, ws, checkpoint=None)
+    sed_params = cli_common.load_sed_params(ns, cfg, ws,
+                                            PREDICT_SED_PARAMS)
+    eng = SedInferenceEngine(model, variables, cfg, sample_duration=10,
+                             overlap=False, sed_params=sed_params,
+                             batch_size=ns.batch_size)
+    paths = sorted(os.path.join(input_dir, f)
+                   for f in os.listdir(input_dir)
+                   if not f.startswith('.'))
+    from sed_tpu.data import audio_io as aio
+    reader = aio.wire_reader_for(paths[0])
+    names = [os.path.basename(p) for p in paths]
+    _, want_xmls = eng.predict_files_resident(paths, reader, names=names)
+    want = {os.path.splitext(n)[0] + '.xml': x
+            for n, x in zip(names, want_xmls)}
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    predict_cli.main(['predict', '--input_dir', input_dir,
+                      '--workspace', workspace, *COMMON,
+                      '--sample_duration', '10', '--resident'])
+    got = {f: open(os.path.join(out_dir, f)).read()
+           for f in os.listdir(out_dir) if f.endswith('.xml')}
+    assert got == want
+
+    shutil.rmtree(out_dir)
+    predict_cli.main(['predict', '--input_dir', input_dir,
+                      '--workspace', workspace, *COMMON,
+                      '--sample_duration', '10', '--resident',
+                      '--max_pass_clips', '3'])
+    chunked = {f: open(os.path.join(out_dir, f)).read()
+               for f in os.listdir(out_dir) if f.endswith('.xml')}
+    assert chunked == got
+
+
 def test_06_inference_prob_overlap_single_param(dataset_dir, workspace,
                                                 monkeypatch):
     monkeypatch.setattr(main_strong_cli, 'PARAM_COMBINATIONS', [[1, 5]])
