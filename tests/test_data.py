@@ -353,3 +353,31 @@ def test_stack_rows_matches_np_stack():
     # generator input
     np.testing.assert_array_equal(
         audio_io.stack_rows(r for r in rows), np.stack(rows))
+
+
+def test_wire_reader_for_sniffs_formats(tmp_path):
+    """wire_reader_for picks the right zero-transcode reader per corpus:
+    qN containers, mu-law wavs (format tag 7), and int16 PCM wavs."""
+    rng = np.random.RandomState(3)
+    x = rng.uniform(-0.5, 0.5, 1280).astype(np.float32)
+
+    p16 = str(tmp_path / 'a.wav')
+    audio_io.save_wav(p16, x, 16000)
+    r = audio_io.wire_reader_for(p16)
+    got = r(p16)
+    assert got.dtype == np.int16
+    assert np.array_equal(got, audio_io.fast_read_wav_int16(p16)[0])
+
+    pmu = str(tmp_path / 'b.wav')
+    audio_io.save_wav_mulaw(pmu, x, 16000)
+    r = audio_io.wire_reader_for(pmu)
+    got = r(pmu)
+    assert got.dtype == np.uint8
+    assert np.array_equal(got, audio_io.fast_read_wav_mulaw(pmu)[0])
+
+    pq = str(tmp_path / 'c.q6')
+    audio_io.save_qn(pq, x, 16000, 6)
+    r = audio_io.wire_reader_for(pq)
+    got = r(pq)
+    assert got.dtype == np.uint8
+    assert np.array_equal(got, audio_io.read_qn(pq)[0])
