@@ -83,6 +83,9 @@ def _predict_resident(args, engine, out_dir, audio_files):
     decode to ``--sample_duration`` seconds in the same wire format
     (int16/mu-law wav or .qN container, sniffed from the first file)."""
     from sed_tpu.data import audio_io
+    if not audio_files:
+        print('No audio files in --input_dir; nothing to do.')
+        return audio_files
     reader = audio_io.wire_reader_for(audio_files[0])
     names = [os.path.basename(p) for p in audio_files]
     t0 = time.time()

@@ -961,6 +961,7 @@ class SedInferenceEngine:
         assert self.mesh is None, (
             'predict_files_resident is single-device; use predict_clips '
             'with a mesh')
+        assert len(paths) > 0, 'predict_files_resident: empty file list'
         n = len(paths)
         if names is None:
             names = [os.path.basename(p) for p in paths]
