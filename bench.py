@@ -194,14 +194,22 @@ def encode_wire(clips, wire):
     return (np.clip(clips, -1, 1) * 32767).astype(np.int16)
 
 
+_probe_bufs: dict = {}
+
+
 def measure_raw_link_mb_s(mb=32):
     """One raw multi-threaded device_put of `mb` MB — the link-phase
     context for the headline reading.  The engine pass measured AT this
     raw speed (zero upload overhead, BENCHMARKS.md round-3 probe), so
-    this number tells the reader which phase the draw came from."""
+    this number tells the reader which phase the draw came from.  The
+    host buffer is cached per size: the gate calls this repeatedly and
+    must pay only link time, not regeneration/page faults."""
     import threading
     import jax
-    data = np.random.randint(0, 255, (mb, 1024, 1024), np.uint8)
+    if mb not in _probe_bufs:
+        _probe_bufs[mb] = np.random.randint(0, 255, (mb, 1024, 1024),
+                                            np.uint8)
+    data = _probe_bufs[mb]
     chunks = np.array_split(data, THREADS)
     outs = [None] * THREADS
 
