@@ -266,7 +266,10 @@ def gated_headline_draws(engine, paths, read, names, stage):
             probe_bw = measure_raw_link_mb_s(PROBE_MB)
             probes.append(round(probe_bw, 1))
             fixed = float(np.median(fixed_obs)) if fixed_obs else 1.2
-            est = (bytes_h2d / 1e6) / max(probe_bw, 1e-3) + fixed
+            # probe_bw is MiB/s (the probe buffer is mb x 2^20 bytes);
+            # divide bytes by 2^20, not 1e6 — a decimal-MB mixup is a
+            # ~4.9% systematic bias, bigger than the 2% draw margin
+            est = bytes_h2d / (max(probe_bw, 1e-3) * 2**20) + fixed
             if (est >= min(times) * 0.98
                     and _now() - last_draw < REALITY_CHECK_S):
                 _sleep(GATE_SLEEP_S)
@@ -285,7 +288,7 @@ def gated_headline_draws(engine, paths, read, names, stage):
             stage(f'draw {i}: {dt:.2f}s (gate probe {probe_bw:.0f} MB/s)')
             if bytes_h2d:
                 fixed_obs.append(
-                    max(0.1, dt - (bytes_h2d / 1e6) / probe_bw))
+                    max(0.1, dt - bytes_h2d / (probe_bw * 2**20)))
     for t in tels:
         t['gate_probes_mb_s'] = probes   # full phase history, every tel
     return times, tels, events

@@ -42,8 +42,7 @@ def _write_xml_for(out_dir, name, events, engine, duration):
     end = min(duration, last_start + engine.sample_duration)
     xml = events_to_xml(sorted(events, key=lambda e: e['onset']), name,
                         fallback_span=(last_start, end))
-    stem = name[:-len('.wav')] if name.endswith('.wav') else \
-        os.path.splitext(name)[0]
+    stem = os.path.splitext(name)[0]
     with open(os.path.join(out_dir, stem + '.xml'), 'w') as f:
         f.write(xml)
 
@@ -86,6 +85,9 @@ def _predict_resident(args, engine, out_dir, audio_files):
     if not audio_files:
         print('No audio files in --input_dir; nothing to do.')
         return audio_files
+    if args.max_pass_clips < 0:
+        raise SystemExit('--max_pass_clips must be >= 0 '
+                         '(0 = whole corpus in one pass)')
     reader = audio_io.wire_reader_for(audio_files[0])
     names = [os.path.basename(p) for p in audio_files]
     t0 = time.time()
@@ -96,9 +98,9 @@ def _predict_resident(args, engine, out_dir, audio_files):
         max_pass_clips=args.max_pass_clips or None,
         telemetry=telemetry)
     for name, xml in zip(names, xmls):
-        stem = name[:-len('.wav')] if name.endswith('.wav') else \
-            os.path.splitext(name)[0]
-        with open(os.path.join(out_dir, stem + '.xml'), 'w') as f:
+        with open(os.path.join(out_dir,
+                               os.path.splitext(name)[0] + '.xml'),
+                  'w') as f:
             f.write(xml)
     n_events = sum(len(e) for e in events)
     print('Processed {} clips in {:.2f} s ({} events); telemetry: {}'
@@ -128,8 +130,7 @@ def predict(args):
             print('onset: {}, offset: {}, event_label: {}\n'.format(
                 event['onset'], event['offset'], event['event_label']))
         name = os.path.basename(path)
-        stem = name[:-len('.wav')] if name.endswith('.wav') else \
-            os.path.splitext(name)[0]
+        stem = os.path.splitext(name)[0]
         out_path = os.path.join(out_dir, stem + '.xml')
         with open(out_path, 'w') as f:
             f.write(xml)

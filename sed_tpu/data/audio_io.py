@@ -399,18 +399,23 @@ def pad_truncate(x: np.ndarray, max_len: int) -> np.ndarray:
 
 def _wav_format_tag(path: str) -> int:
     """Peek a RIFF wav's fmt-chunk format tag (1=PCM, 7=mu-law).
-    Returns 0 for non-RIFF files."""
+    Walks chunk headers with seeks, so arbitrarily large metadata
+    chunks (LIST/bext) before ``fmt `` don't defeat the sniff.
+    Returns 0 for non-RIFF files or when no fmt chunk exists."""
     with open(path, 'rb') as f:
-        buf = f.read(4096)
-    if buf[:4] != b'RIFF' or buf[8:12] != b'WAVE':
-        return 0
-    pos = 12
-    while pos + 8 <= len(buf):
-        if buf[pos:pos + 4] == b'fmt ':
-            return int.from_bytes(buf[pos + 8:pos + 10], 'little')
-        size = int.from_bytes(buf[pos + 4:pos + 8], 'little')
-        pos += 8 + size + (size & 1)
-    return 0
+        head = f.read(12)
+        if len(head) < 12 or head[:4] != b'RIFF' or head[8:12] != b'WAVE':
+            return 0
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                return 0
+            if hdr[:4] == b'fmt ':
+                tag = f.read(2)
+                return int.from_bytes(tag, 'little') if len(tag) == 2 \
+                    else 0
+            size = int.from_bytes(hdr[4:8], 'little')
+            f.seek(size + (size & 1), os.SEEK_CUR)
 
 
 def wire_reader_for(path: str):

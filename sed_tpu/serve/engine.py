@@ -871,7 +871,10 @@ class SedInferenceEngine:
         if rows > n:
             wavs = np.concatenate(
                 [wavs, np.zeros((rows - n, width), wavs.dtype)], axis=0)
-        k = max(1, min(int(upload_threads), rows))
+        # clamp by the UNPADDED clip count — the same convention as
+        # predict_files_resident and warmup_resident, so identical
+        # (n, width, dtype, threads) always hits one cached program
+        k = max(1, min(int(upload_threads), n))
         base, extra = divmod(rows, k)
         sizes = tuple(base + (1 if i < extra else 0) for i in range(k))
         fn = self._resident_pipeline(n_batches, width, wavs.dtype, sizes)
@@ -967,7 +970,9 @@ class SedInferenceEngine:
             names = [os.path.basename(p) for p in paths]
         if max_pass_clips is not None and n > int(max_pass_clips):
             step = int(max_pass_clips)
-            assert step >= 1
+            if step < 1:
+                raise ValueError(
+                    f'max_pass_clips must be >= 1, got {step}')
             all_events: List[List[dict]] = []
             all_xmls: List[str] = []
             acc: dict = {}

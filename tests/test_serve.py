@@ -440,6 +440,19 @@ def test_warmup_resident_compiles_the_timed_program(engine, tmp_path):
         assert len(eng._resident_cache) == 1, pull
         assert got == want, pull
 
+    # clips variant, ragged corpus smaller than both batch and threads:
+    # warm and pass must agree on the chunk split (clamp by the UNPADDED
+    # count) or the "warm" silently recompiles
+    eng = SedInferenceEngine(engine.model, engine.variables, AUDIO_16K,
+                             sample_duration=5, overlap=True,
+                             batch_size=8, pull_format='topk')
+    eng.warmup_resident(3, q6.shape[1], q6.dtype, upload_threads=4)
+    assert len(eng._resident_cache) == 1
+    got3 = eng.predict_clips_resident(q6[:3], names=names[:3],
+                                      upload_threads=4)
+    assert len(eng._resident_cache) == 1
+    assert got3[0] == want[0][:3]
+
 
 def test_predict_clips_chunking_matches_unchunked(engine):
     """The dispatch-ahead bound (chunked processing of huge inputs) must
