@@ -312,6 +312,30 @@ def run_pass(engine, paths, read, names, telemetry=None):
     return engine.predict_clips_stream(batches(), names=names)
 
 
+def _require_backend(timeout_s=600.0):
+    """Bounded backend init: the remote tunnel has been observed fully
+    DOWN for hours (jax.devices() then hangs forever in a reconnect
+    loop).  Probe it in a daemon thread and exit loudly on timeout so
+    the driver records a failed bench instead of hanging."""
+    import threading
+    import jax
+    out = []
+
+    def probe():
+        out.append(jax.devices())
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not out:
+        print(f'# FATAL: jax backend did not initialize within '
+              f'{timeout_s:.0f}s — the device tunnel is unreachable; '
+              f'no reading is possible in this window',
+              file=sys.stderr, flush=True)
+        os._exit(3)
+    print(f'# devices: {out[0]}', file=sys.stderr, flush=True)
+
+
 def main():
     import jax
     # persistent compile cache: repeat bench runs skip the (slow) remote
@@ -319,6 +343,7 @@ def main():
     jax.config.update('jax_compilation_cache_dir',
                       os.path.expanduser('~/.cache/jax_sed'))
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    _require_backend(float(os.environ.get('BENCH_INIT_TIMEOUT', '600')))
     import jax.numpy as jnp
     from sed_tpu.config import AUDIO_16K, PREDICT_SED_PARAMS
     from sed_tpu.models.registry import get_model
