@@ -13,9 +13,14 @@ Reference mapping:
     (``pytorch/models.py:1829-2218``): DCASE baseline CNN (or ConvBlock
     stack) + learned tag token prepended + encoder; weak = token logits,
     strong = remaining frame logits (x8 interpolation for the 7-layer
-    variant).  NB: the reference Cnn_9layers_Conformer forward is broken
-    (it "squeezes" a mel axis of width 8, ``models.py:2150``); here the
-    mel axis is mean-reduced like every other ConvBlock model.
+    variant only).  The 9-layer variant FLATTENS time x freq into the
+    token sequence (``models.py:2156``; 10 s -> 125*8 = 1000 tokens) and
+    ships framewise logits uninterpolated — verified head-to-head
+    against the actual reference code (test_reference_model_oracle).
+    The 7-layer forward is dead code upstream (every call raises
+    TypeError: it passes ``spec_augment=`` to a preprocess lacking the
+    kwarg, ``models.py:1934,1960``); the rebuild implements the intended
+    semantics, verified against the reference with preprocess patched.
 """
 
 from __future__ import annotations
@@ -139,7 +144,13 @@ class TokenPoolingConformer(SedFeatureBase):
                                      name=f'conv_block{i + 1}')(
                     x, train, pool_size=(1, 1) if last else (2, 2),
                     pool_type='avg')
-            x = jnp.mean(x, axis=2)
+            # the reference FLATTENS time x freq into the token sequence
+            # (``models.py:2156``: reshape (B,C,T,F)->(B,C,T*F) then
+            # permute) — NOT a mean over freq — so a 10 s clip yields
+            # 125*8 = 1000 frame tokens at the encoder; time-major,
+            # freq-minor ordering matches torch's reshape
+            b, t, f, c = x.shape
+            x = x.reshape(b, t * f, c)
             input_dim = 512
 
         tag = nn.Dense(input_dim, name='linear_emb')(

@@ -40,9 +40,11 @@ register('Cnn_9layers_Gru_FrameAtt', temporal='gru', head='att',
 register('Cnn_14layers_Gru_FrameAtt', temporal='gru', head='att',
          conv_channels=(64, 128, 256, 512, 1024, 2048), gru_hidden=1024,
          pad_to_roundup=True)
-# regression-experiment clone of Gru_FrameAtt (pytorch/models.py:2788-2889)
+# regression-experiment clone of Gru_FrameAtt (pytorch/models.py:2788-2889);
+# unlike FrameAtt its pad_framewise_output is commented out upstream
+# (models.py:2883) so short clips keep the raw interpolated length
 register('Cnn_9layers_Gru_Reg', temporal='gru', head='att',
-         gru_hidden=256, pad_to_roundup=True)
+         gru_hidden=256, pad_to_roundup=False)
 
 # CNN + single-block Transformer family (pytorch/models.py:880-1184)
 register('Cnn_9layers_Transformer_FrameAvg', temporal='multihead',

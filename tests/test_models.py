@@ -27,7 +27,10 @@ def _param_count(params):
 # token-pooling SEDModel family trains with *_logits losses), and models
 # whose framewise length differs from the 1000-frame contract
 LOGIT_MODELS = {'Cnn_7layers_Conformer', 'Cnn_9layers_Conformer'}
-FRAMES_OVERRIDE = {'Cnn_9layers_Conformer': 125}  # no interpolation
+# Cnn_9layers_Conformer: no interpolation, but the reference's T x F
+# flatten (models.py:2156) makes 10 s clips emit 125*8 = 1000 frame
+# tokens anyway, so no override is needed.
+FRAMES_OVERRIDE = {}
 
 
 @pytest.mark.parametrize('name', sorted(MODEL_REGISTRY))
