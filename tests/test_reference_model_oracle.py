@@ -73,9 +73,30 @@ def _functional_librosa_stub():
         return _librosa_mel_oracle(sr, n_fft, n_mels, fmin, fmax,
                                    htk=htk, norm=norm, dtype=dtype)
 
+    def normalize(S, norm=np.inf, axis=0):
+        assert norm is None, 'stub supports the norm=None call only'
+        return S      # librosa: norm=None returns the input unscaled
+
+    def window_sumsquare(window, n_frames, hop_length=512, win_length=None,
+                         n_fft=2048, dtype=np.float32, norm=None):
+        # librosa.filters.window_sumsquare (0.9.x): OLA'd squared window
+        if win_length is None:
+            win_length = n_fft
+        n = n_fft + hop_length * (n_frames - 1)
+        x = np.zeros(n, dtype=dtype)
+        win_sq = normalize(get_window(window, win_length), norm=norm) ** 2
+        win_sq = pad_center(win_sq, n_fft)
+        for i in range(n_frames):
+            sample = i * hop_length
+            x[sample:min(n, sample + n_fft)] += \
+                win_sq[:max(0, min(n_fft, n - sample))]
+        return x
+
     filters.get_window = get_window
     filters.mel = mel
+    filters.window_sumsquare = window_sumsquare
     util.pad_center = pad_center
+    util.normalize = normalize
     librosa.filters = filters
     librosa.util = util
     return {'librosa': librosa, 'librosa.filters': filters,
@@ -347,3 +368,129 @@ def test_vggish_family_vs_actual_reference(ref_models, tmp_path, cls_name,
     wav = rng.uniform(-0.5, 0.5,
                       (1, int(16000 * head_secs))).astype(np.float32)
     _head_to_head(m, cls_name, wav, tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# DSP transform classes, head-to-head with the ACTUAL pytorch/stft.py
+# (the reference's own de-facto test harness is its stft.py debug();
+# here the real torch modules themselves are the oracle).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope='module')
+def ref_stft(ref_models):
+    """pytorch/stft.py, already imported (with the functional librosa
+    stub bound into its globals) as a side effect of importing models."""
+    return sys.modules['stft']
+
+
+def test_dft_vs_actual_reference(ref_stft):
+    """DFT/IDFT/RDFT/IRDFT (stft.py:34-154) vs dsp/transforms.
+
+    Two upstream quirks pinned here: (a) norm=None idft divides only
+    the REAL part by n (stft.py:93-94) — the rebuild deliberately
+    scales both so idft(dft(x)) == x (documented in transforms.idft);
+    (b) the norm='ortho' inverse branches reference an undefined bare
+    ``n`` (stft.py:96-97,151) and raise NameError on every call —
+    dead code upstream."""
+    from sed_tpu.dsp import transforms
+    rng = np.random.RandomState(40)
+    n = 64
+    xr = rng.randn(n).astype(np.float32)
+    xi = rng.randn(n).astype(np.float32)
+
+    ref = ref_stft.DFT(n, None)
+    with torch.no_grad():
+        zr, zi = ref.dft(torch.from_numpy(xr), torch.from_numpy(xi))
+        wr, wi = ref.idft(torch.from_numpy(xr), torch.from_numpy(xi))
+        rr, ri = ref.rdft(torch.from_numpy(xr))
+        br = ref.irdft(torch.from_numpy(rr.numpy()),
+                       torch.from_numpy(ri.numpy()))
+    gr, gi = transforms.dft(jnp.asarray(xr), jnp.asarray(xi), None)
+    np.testing.assert_allclose(np.asarray(gr), zr.numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gi), zi.numpy(), atol=1e-3)
+    gr, gi = transforms.idft(jnp.asarray(xr), jnp.asarray(xi), None)
+    np.testing.assert_allclose(np.asarray(gr), wr.numpy(), atol=1e-3)
+    # quirk (a): reference imag is unscaled; ours is imag / n
+    np.testing.assert_allclose(np.asarray(gi) * n, wi.numpy(), atol=1e-3)
+    gr, gi = transforms.rdft(jnp.asarray(xr), None)
+    np.testing.assert_allclose(np.asarray(gr), rr.numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gi), ri.numpy(), atol=1e-3)
+    gb = transforms.irdft(jnp.asarray(rr.numpy()),
+                          jnp.asarray(ri.numpy()), None)
+    np.testing.assert_allclose(np.asarray(gb), br.numpy(), atol=1e-3)
+    # irdft(rdft(x)) must reconstruct the signal in both systems
+    np.testing.assert_allclose(np.asarray(gb), xr, atol=1e-3)
+
+    # 'ortho' forward transforms agree; inverse is dead code upstream
+    ref_o = ref_stft.DFT(n, 'ortho')
+    with torch.no_grad():
+        zr, zi = ref_o.dft(torch.from_numpy(xr), torch.from_numpy(xi))
+        rr, ri = ref_o.rdft(torch.from_numpy(xr))
+    gr, gi = transforms.dft(jnp.asarray(xr), jnp.asarray(xi), 'ortho')
+    np.testing.assert_allclose(np.asarray(gr), zr.numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gi), zi.numpy(), atol=1e-3)
+    gr, gi = transforms.rdft(jnp.asarray(xr), 'ortho')
+    np.testing.assert_allclose(np.asarray(gr), rr.numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gi), ri.numpy(), atol=1e-3)
+    with pytest.raises(NameError):
+        ref_o.idft(torch.from_numpy(xr), torch.from_numpy(xi))
+    with pytest.raises(NameError):
+        ref_o.irdft(torch.from_numpy(rr.numpy()),
+                    torch.from_numpy(ri.numpy()))
+    # the rebuild's ortho inverse is a working round trip
+    ir, ii = transforms.idft(
+        *transforms.dft(jnp.asarray(xr), jnp.asarray(xi), 'ortho'),
+        'ortho')
+    np.testing.assert_allclose(np.asarray(ir), xr, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ii), xi, atol=1e-3)
+
+
+def test_stft_istft_vs_actual_reference(ref_stft):
+    """STFT (stft.py:157-247) and ISTFT (stft.py:269-633) vs the MXU
+    matmul stft and the overlap-add istft, plus round-trip fidelity."""
+    from sed_tpu.dsp import filters as our_filters
+    from sed_tpu.dsp import frontend, transforms
+    rng = np.random.RandomState(41)
+    n_fft, hop, length = 512, 160, 16000
+    x = rng.uniform(-0.5, 0.5, (2, length)).astype(np.float32)
+
+    ref = ref_stft.STFT(n_fft=n_fft, hop_length=hop, win_length=n_fft,
+                        window='hann', center=True, pad_mode='reflect')
+    with torch.no_grad():
+        want_re, want_im = ref(torch.from_numpy(x))   # (B, 1, T, bins)
+    mat = our_filters.stft_matrices(n_fft, n_fft, 'hann')
+    got_re, got_im = frontend.stft(jnp.asarray(x), jnp.asarray(mat), hop)
+    np.testing.assert_allclose(np.asarray(got_re),
+                               want_re[:, 0].numpy(), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_im),
+                               want_im[:, 0].numpy(), atol=1e-3)
+
+    inv = ref_stft.ISTFT(n_fft=n_fft, hop_length=hop, win_length=n_fft,
+                         window='hann', center=True, pad_mode='reflect')
+    with torch.no_grad():
+        want_x = inv(want_re, want_im, length).numpy()
+    got_x = np.asarray(transforms.istft(got_re, got_im, n_fft, hop,
+                                        length=length))
+    np.testing.assert_allclose(got_x, want_x, atol=1e-4)
+    np.testing.assert_allclose(got_x, x, atol=1e-4)   # round trip
+
+
+def test_enframe_and_magphase_vs_actual_reference(ref_stft):
+    from sed_tpu.dsp import transforms
+    rng = np.random.RandomState(42)
+    x = rng.uniform(-0.5, 0.5, (2, 8000)).astype(np.float32)
+    ref = ref_stft.Enframe(frame_length=1024, hop_length=320)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()   # (B, frame_len, T)
+    got = np.asarray(transforms.enframe(jnp.asarray(x), 1024, 320))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    re = rng.randn(3, 7).astype(np.float32)
+    im = rng.randn(3, 7).astype(np.float32)
+    with torch.no_grad():
+        wm, wc, ws = ref_stft.magphase(torch.from_numpy(re),
+                                       torch.from_numpy(im))
+    gm, gc, gs = transforms.magphase(jnp.asarray(re), jnp.asarray(im))
+    np.testing.assert_allclose(np.asarray(gm), wm.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc), wc.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gs), ws.numpy(), atol=1e-5)
