@@ -1,0 +1,260 @@
+"""Head-to-head against the ACTUAL reference algorithm code.
+
+Companion to ``test_reference_model_oracle.py`` (models/DSP) and
+``test_reference_oracle.py`` (vad/gammatone/sampler/event pipeline):
+this module imports the remaining pure-logic reference modules —
+``pytorch/losses.py``, ``pytorch/evaluate.py``, ``utils/features.py``
+(CSV readers + target builders), ``utils/calculate_metrics.py``,
+``utils/utilities.py`` (Mixup, pad_truncate_sequence), and
+``utils/optimize_thresholds.py`` (HyperParamsOptimizer + numpy Adam) —
+and runs them against the rebuild on randomized inputs.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+import jax.numpy as jnp  # noqa: E402
+
+REF = '/root/reference'
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, 'utils')),
+    reason='reference repo not mounted')
+
+
+@pytest.fixture(scope='module')
+def ref_pkg():
+    """Import the reference algorithm modules with unavailable deps
+    stubbed (same approach as test_reference_oracle / the functional
+    librosa stub in test_reference_model_oracle)."""
+    from test_reference_model_oracle import _functional_librosa_stub
+    stubs = {k: v for k, v in _functional_librosa_stub().items()
+             if k not in sys.modules}
+    for name in ('sed_eval', 'prettytable'):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            if name == 'prettytable':
+                mod.PrettyTable = object
+            stubs[name] = mod
+    sys.modules.update(stubs)
+    paths = [os.path.join(REF, 'pytorch'), os.path.join(REF, 'utils')]
+    sys.path[:0] = paths
+    out = {}
+    try:
+        import losses as ref_losses
+        import evaluate as ref_evaluate
+        import features as ref_features
+        import calculate_metrics as ref_calc
+        import utilities as ref_util
+        import optimize_thresholds as ref_opt
+        out = {'losses': ref_losses, 'evaluate': ref_evaluate,
+               'features': ref_features, 'calculate_metrics': ref_calc,
+               'utilities': ref_util, 'optimize_thresholds': ref_opt}
+    finally:
+        for p in paths:
+            sys.path.remove(p)
+        for k in stubs:
+            sys.modules.pop(k, None)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Mixup lambda stream + pad_truncate_sequence (utilities.py:66-70,375-397)
+# ---------------------------------------------------------------------------
+
+def test_mixup_lambda_stream_vs_actual_reference(ref_pkg):
+    from sed_tpu.augment.functional import MixupGenerator
+    for alpha, seed in ((1.0, 1234), (0.5, 7), (2.0, 99)):
+        ref = ref_pkg['utilities'].Mixup(alpha, random_seed=seed)
+        ours = MixupGenerator(alpha, random_seed=seed)
+        for bs in (2, 6, 48, 3):
+            np.testing.assert_array_equal(ours.get_lambda(bs),
+                                          ref.get_lambda(bs))
+
+
+def test_pad_truncate_sequence_vs_actual_reference(ref_pkg):
+    from sed_tpu.data.audio_io import pad_truncate
+    rng = np.random.RandomState(0)
+    for n, m in ((100, 160), (160, 160), (200, 160)):
+        x = rng.randn(n).astype(np.float32)
+        want = ref_pkg['utilities'].pad_truncate_sequence(x, m)
+        got = pad_truncate(x, m)
+        np.testing.assert_allclose(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Losses (losses.py:4-55)
+# ---------------------------------------------------------------------------
+
+def test_losses_vs_actual_reference(ref_pkg):
+    from sed_tpu import losses as our_losses
+    rng = np.random.RandomState(1)
+    B, T, Tt, C = 4, 200, 190, 25
+    clip_p = rng.uniform(0.01, 0.99, (B, C)).astype(np.float32)
+    clip_t = (rng.rand(B, C) < 0.3).astype(np.float32)
+    frame_p = rng.uniform(0.01, 0.99, (B, T, C)).astype(np.float32)
+    frame_t = (rng.rand(B, Tt, C) < 0.2).astype(np.float32)
+    logits = rng.randn(B, C).astype(np.float32)
+    frame_logits = rng.randn(B, T, C).astype(np.float32)
+
+    def t(x):
+        return torch.from_numpy(x)
+
+    for name, out_key, out, tgt_key, tgt in (
+            ('clip_bce', 'clipwise_output', clip_p, 'target', clip_t),
+            ('clip_bce_logits', 'clipwise_output', logits, 'target',
+             clip_t),
+            ('frame_bce', 'framewise_output', frame_p, 'strong_target',
+             frame_t),
+            ('frame_bce_logits', 'framewise_output', frame_logits,
+             'strong_target', frame_t)):
+        ref_fn = ref_pkg['losses'].get_loss_func(name)
+        want = ref_fn({out_key: t(out)}, {tgt_key: t(tgt)}).item()
+        our_fn = our_losses.get_loss_func(name)
+        got = float(our_fn({out_key: jnp.asarray(out)},
+                           {tgt_key: jnp.asarray(tgt)}))
+        assert abs(got - want) < 1e-5, (name, got, want)
+
+
+# ---------------------------------------------------------------------------
+# AP + precision/recall/F1 helpers (evaluate.py:11-29,
+# calculate_metrics.py:18-49)
+# ---------------------------------------------------------------------------
+
+def test_sed_average_precision_vs_actual_reference(ref_pkg):
+    from sed_tpu.eval.ap import sed_average_precision
+    rng = np.random.RandomState(2)
+    strong = (rng.rand(6, 100, 25) < 0.2).astype(np.float32)
+    # every class present at least once so 'macro' is defined
+    strong[0, 0, :] = 1.0
+    framewise = rng.rand(6, 100, 25).astype(np.float32)
+    for average in ('macro', 'micro'):
+        want = ref_pkg['evaluate'].sed_average_precision(
+            strong, framewise, average)
+        got = sed_average_precision(strong, framewise, average)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_precision_recall_f1_vs_actual_reference(ref_pkg):
+    from sed_tpu.eval.calculate_metrics import calculate_precision_recall_f1
+    rng = np.random.RandomState(3)
+    y = (rng.rand(50, 25) < 0.3).astype(np.float32)
+    out = rng.rand(50, 25).astype(np.float32)
+    th = list(rng.uniform(0.2, 0.8, 25))
+    want = ref_pkg['calculate_metrics'].calculate_precision_recall_f1(
+        y, out, th)
+    got = calculate_precision_recall_f1(y, out, th)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+    y3 = (rng.rand(5, 40, 25) < 0.2).astype(np.float32)
+    out3 = rng.rand(5, 40, 25).astype(np.float32)
+    want = ref_pkg['calculate_metrics'].calculate_precision_recall_f1(
+        y3, out3, th)
+    got = calculate_precision_recall_f1(y3, out3, th)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_get_metric_vs_actual_reference(ref_pkg):
+    from sed_tpu.eval.calculate_metrics import get_metric
+    results = {'overall': {
+        'f_measure': {'f_measure': 0.61, 'precision': 0.7, 'recall': 0.55},
+        'error_rate': {'error_rate': 0.58}}}
+    for m in ('f1', 'er', 'precision', 'recall'):
+        assert get_metric(results, m) == \
+            ref_pkg['calculate_metrics'].get_metric(results, m)
+
+
+# ---------------------------------------------------------------------------
+# CSV readers + target builders (features.py:40-176)
+# ---------------------------------------------------------------------------
+
+def test_weak_csv_and_targets_vs_actual_reference(ref_pkg, tmp_path):
+    from sed_tpu.config import LB_TO_IDX
+    from sed_tpu.data import metadata
+    f = ref_pkg['features']
+
+    weak = tmp_path / 'weak.csv'
+    weak.write_text(
+        '-5QrBL6MzLg,60.000,70.000,"Train horn,Train","/m/0284vy3"\n'
+        'abc,0.000,10.000,Speech,/m/09x0r\n')
+    for data_type in ('training', 'weak_training', 'strong_validation'):
+        want = f.read_weak_csv(str(weak), data_type)
+        got = metadata.read_weak_csv(str(weak), data_type)
+        assert got == want
+
+    ev = tmp_path / 'eval.tsv'
+    ev.write_text('a.wav\t30.0\t40.0\tTrain horn\n'
+                  'a.wav\t30.0\t40.0\tSpeech\n'
+                  'b.wav\t0.0\t10.0\tSiren\n')
+    assert metadata.read_weak_csv(str(ev), 'evaluation') == \
+        f.read_weak_csv(str(ev), 'evaluation')
+
+    strong = tmp_path / 'strong.csv'
+    strong.write_text('a.wav,0.917,2.029,Train horn\n'
+                      'a.wav,4.0,7.0,Speech\n'
+                      'b.wav,1.5,9.99,Siren\n')
+    want_d = f.read_strong_csv(str(strong))
+    got_d = metadata.read_strong_csv(str(strong))
+    assert got_d == want_d
+
+    lb_to_idx = dict(LB_TO_IDX)
+    real = sorted(lb_to_idx)            # actual 25-class label names
+    for labels in ([real[0], real[3]], [], [real[24]]):
+        np.testing.assert_array_equal(
+            metadata.get_weak_target(labels, lb_to_idx),
+            f.get_weak_target(labels, lb_to_idx))
+    strong2 = tmp_path / 'strong2.csv'
+    strong2.write_text(f'a.wav,0.917,2.029,{real[1]}\n'
+                       f'a.wav,4.0,7.0,{real[2]}\n'
+                       f'b.wav,1.5,9.99,{real[7]}\n')
+    want_d2 = f.read_strong_csv(str(strong2))
+    got_d2 = metadata.read_strong_csv(str(strong2))
+    for name in ('a.wav', 'b.wav'):
+        np.testing.assert_array_equal(
+            metadata.get_strong_target(name, got_d2, 1000, 100, lb_to_idx),
+            f.get_strong_target(name, want_d2, 1000, 100, lb_to_idx))
+
+
+# ---------------------------------------------------------------------------
+# HyperParamsOptimizer + numpy Adam trajectory
+# (optimize_thresholds.py:31-140)
+# ---------------------------------------------------------------------------
+
+def test_threshold_optimizer_trajectory_vs_actual_reference(ref_pkg):
+    """Identical per-epoch parameter trajectories on a deterministic
+    score with plateaus (quantized quadratic — exercises the max_search
+    re-probing), pinning the 'algorithm-exact' claim against the ACTUAL
+    reference optimizer, not a transcription of it."""
+    from sed_tpu.thresholds.optimizer import HyperParamsOptimizer
+
+    target = np.array([0.31, 0.55, 0.12, 0.78])
+
+    def score(params):
+        # quantized so small probes plateau (new_score == score)
+        return round(float(1.0 - np.sum((np.array(params) - target) ** 2)),
+                     2)
+
+    init = [0.5, 0.5, 0.5, 0.5]
+    ref_save = {}
+    ref_opt = ref_pkg['optimize_thresholds'].HyperParamsOptimizer(
+        score, save_dict=ref_save, learning_rate=1e-2, epochs=10,
+        step=0.02, max_search=5)
+    ref_score, ref_params, ref_save = ref_opt.do_optimize(list(init))
+
+    ours = HyperParamsOptimizer(score, learning_rate=1e-2, epochs=10,
+                                step=0.02, max_search=5)
+    our_score, our_params, our_save = ours.do_optimize(list(init))
+
+    assert our_score == ref_score
+    np.testing.assert_allclose(our_params, ref_params, atol=1e-12)
+    for epoch in range(10):
+        np.testing.assert_allclose(our_save[epoch]['thresholds'],
+                                   ref_save[epoch]['thresholds'],
+                                   atol=1e-12)
+        assert our_save[epoch]['score'] == ref_save[epoch]['score']
