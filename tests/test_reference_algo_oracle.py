@@ -258,3 +258,88 @@ def test_threshold_optimizer_trajectory_vs_actual_reference(ref_pkg):
                                    ref_save[epoch]['thresholds'],
                                    atol=1e-12)
         assert our_save[epoch]['score'] == ref_save[epoch]['score']
+
+
+# ---------------------------------------------------------------------------
+# do_mixup / do_timeshift / do_mixup_timeshift (pytorch_utils.py:81-138)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope='module')
+def ref_pu(ref_pkg):
+    sys.path.insert(0, os.path.join(REF, 'pytorch'))
+    try:
+        import pytorch_utils as mod
+    finally:
+        sys.path.pop(0)
+    return mod
+
+
+def test_do_mixup_vs_actual_reference(ref_pu):
+    from sed_tpu.augment.functional import do_mixup
+    rng = np.random.RandomState(5)
+    x = rng.randn(4, 1, 50, 8).astype(np.float32)
+    lam = rng.rand(4).astype(np.float32)
+    want = ref_pu.do_mixup(torch.from_numpy(x),
+                           torch.from_numpy(lam)).numpy()
+    got = np.asarray(do_mixup(jnp.asarray(x), jnp.asarray(lam)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_do_timeshift_vs_actual_reference(ref_pu, monkeypatch):
+    """The reference draws shift = int(np.random.normal(0, 90)) inside
+    the function; ours draws from a jax PRNG key.  Pin the COMPOSITION
+    (trunc-toward-zero + roll along dim 2 + mixup) by forcing the
+    reference's normal draw to the jax key's value."""
+    import jax
+    from sed_tpu.augment import functional as F
+    rng = np.random.RandomState(6)
+    x = rng.randn(4, 1, 50, 8).astype(np.float32)
+    lam = rng.rand(4).astype(np.float32)
+    for seed in (0, 1, 2, 123):
+        key = jax.random.PRNGKey(seed)
+        draw = float(90.0 * jax.random.normal(key))   # same stream as ours
+        monkeypatch.setattr(ref_pu.np.random, 'normal',
+                            lambda m, s, _d=draw: _d)
+        want = ref_pu.do_timeshift(torch.from_numpy(x)).numpy()
+        got = np.asarray(F.do_timeshift(key, jnp.asarray(x), axis=2))
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=str(seed))
+
+        want = ref_pu.do_mixup_timeshift(torch.from_numpy(x),
+                                         torch.from_numpy(lam)).numpy()
+        got = np.asarray(F.do_mixup_timeshift(key, jnp.asarray(x),
+                                              jnp.asarray(lam), axis=2))
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=str(seed))
+
+
+# ---------------------------------------------------------------------------
+# TestSampler + collate_fn (data_generator.py:104-164)
+# ---------------------------------------------------------------------------
+
+def test_test_sampler_and_collate_vs_actual_reference(ref_pkg, tmp_path):
+    import h5py
+    from sed_tpu.data.dataset import TestSampler, collate_fn
+    sys.path.insert(0, os.path.join(REF, 'utils'))
+    try:
+        import data_generator as ref_dg
+    finally:
+        sys.path.pop(0)
+
+    path = str(tmp_path / 'test.h5')
+    with h5py.File(path, 'w') as hf:
+        hf.create_dataset('audio_name',
+                          data=[f'c{i}.wav'.encode() for i in range(11)])
+    for bs in (4, 11, 16):
+        ours = [[m['index_in_hdf5'] for m in b]
+                for b in TestSampler(path, bs)]
+        theirs = [[int(m['index_in_hdf5']) for m in b]
+                  for b in ref_dg.TestSampler(path, bs)]
+        assert ours == theirs
+
+    rows = [{'audio_name': f'c{i}.wav',
+             'waveform': np.arange(5, dtype=np.float32) + i,
+             'target': np.zeros(3, np.float32)} for i in range(4)]
+    got = collate_fn(rows)
+    want = ref_dg.collate_fn(rows)
+    assert sorted(got) == sorted(want)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k])
