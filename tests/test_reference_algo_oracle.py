@@ -343,3 +343,76 @@ def test_test_sampler_and_collate_vs_actual_reference(ref_pkg, tmp_path):
     assert sorted(got) == sorted(want)
     for k in want:
         np.testing.assert_array_equal(got[k], want[k])
+
+
+# ---------------------------------------------------------------------------
+# AudiosetDataset item schema + int16 converters + write_submission
+# (data_generator.py:15-49, utilities.py:66-79,278-291)
+# ---------------------------------------------------------------------------
+
+def test_dataset_item_vs_actual_reference(ref_pkg, tmp_path):
+    import h5py
+    from sed_tpu.data.dataset import AudiosetDataset
+    sys.path.insert(0, os.path.join(REF, 'utils'))
+    try:
+        import data_generator as ref_dg
+    finally:
+        sys.path.pop(0)
+
+    rng = np.random.RandomState(8)
+    path = str(tmp_path / 'packed.h5')
+    with h5py.File(path, 'w') as hf:
+        hf.create_dataset('audio_name',
+                          data=[f'c{i}.wav'.encode() for i in range(3)])
+        hf.create_dataset('waveform',
+                          data=rng.randint(-32768, 32767, (3, 1600),
+                                           np.int16))
+        hf.create_dataset('target', data=(rng.rand(3, 25) < 0.3))
+        hf.create_dataset('strong_target',
+                          data=(rng.rand(3, 100, 25) < 0.2))
+
+    ours = AudiosetDataset()
+    theirs = ref_dg.AudiosetDataset()
+    for i in range(3):
+        meta = {'hdf5_path': path, 'index_in_hdf5': i}
+        got = ours[meta]
+        want = theirs[meta]
+        assert sorted(got) == sorted(want)
+        assert got['audio_name'] == want['audio_name']
+        for k in ('waveform', 'target', 'strong_target'):
+            assert got[k].dtype == want[k].dtype, k
+            np.testing.assert_array_equal(got[k], want[k])
+    ours.close()
+
+
+def test_int16_converters_vs_actual_reference(ref_pkg):
+    """The packed-HDF5 dequant (x / 32767, wire.dequant_wire and the
+    dataset's item path) must match the reference's int16_to_float32
+    exactly; NB ``audio_io._to_float32`` is deliberately NOT that
+    function — it is the wav-LOAD normalization (/ 32768, librosa
+    convention)."""
+    from sed_tpu.ops.wire import dequant_wire
+    util = ref_pkg['utilities']
+    rng = np.random.RandomState(9)
+    ints = rng.randint(-32768, 32767, (2, 1000)).astype(np.int16)
+    got = np.asarray(dequant_wire(jnp.asarray(ints)))
+    np.testing.assert_array_equal(got, util.int16_to_float32(ints))
+    floats = rng.uniform(-1, 1, 1000).astype(np.float32)
+    from sed_tpu.data.hdf5_pack import float32_to_int16
+    np.testing.assert_array_equal(float32_to_int16(floats),
+                                  util.float32_to_int16(floats))
+
+
+def test_write_submission_vs_actual_reference(ref_pkg, tmp_path):
+    from sed_tpu.post.events import write_submission
+    events = [
+        {'filename': 'a.wav', 'onset': 1.37, 'offset': 2.0,
+         'event_label': 'Siren'},
+        {'filename': 'b.wav', 'onset': 0.0, 'offset': 10.0,
+         'event_label': 'Speech'},
+    ]
+    ours = tmp_path / 'ours.tsv'
+    theirs = tmp_path / 'theirs.tsv'
+    write_submission(events, str(ours))
+    ref_pkg['utilities'].write_submission(events, str(theirs))
+    assert ours.read_bytes() == theirs.read_bytes()
