@@ -416,3 +416,79 @@ def test_write_submission_vs_actual_reference(ref_pkg, tmp_path):
     write_submission(events, str(ours))
     ref_pkg['utilities'].write_submission(events, str(theirs))
     assert ours.read_bytes() == theirs.read_bytes()
+
+
+# ---------------------------------------------------------------------------
+# StatisticsContainer pickle layout + the reference's broken resume
+# (utilities.py:343-372)
+# ---------------------------------------------------------------------------
+
+def test_statistics_container_vs_actual_reference(ref_pkg, tmp_path):
+    import pickle
+    from sed_tpu.utils.statistics import StatisticsContainer
+
+    def fill(c):
+        c.append('train', 0, {'loss': 1.0})
+        c.append('valid', 1000, {'er': 0.5})
+        c.append('test', 1000, {'er': 0.6})
+        c.append('valid', 2000, {'er': 0.4})
+        c.dump()
+
+    ours_p = str(tmp_path / 'ours.pkl')
+    ref_p = str(tmp_path / 'ref.pkl')
+    ours = StatisticsContainer(ours_p)
+    theirs = ref_pkg['utilities'].StatisticsContainer(ref_p)
+    fill(ours)
+    fill(theirs)
+    with open(ours_p, 'rb') as f:
+        got = pickle.load(f)
+    with open(ref_p, 'rb') as f:
+        want = pickle.load(f)
+    assert got == want          # identical on-disk layout
+
+    # resume: the reference's load_state_dict rebuilds with keys
+    # {'train','test','evaluate'} but iterates the loaded
+    # {'train','test','valid'} — KeyError on every real resume
+    # (utilities.py:365-370, upstream dead path); the rebuild truncates.
+    with pytest.raises(KeyError):
+        theirs.load_state_dict(1000)
+    ours2 = StatisticsContainer(ours_p)
+    ours2.load_state_dict(1000)
+    assert [s['iteration'] for s in ours2.statistics_dict['valid']] == \
+        [1000]
+
+
+# ---------------------------------------------------------------------------
+# Shipped threshold pickles through BOTH event pipelines
+# ---------------------------------------------------------------------------
+
+def test_shipped_pickles_through_both_event_pipelines(ref_pkg):
+    import pickle
+    from sed_tpu.post import events
+    base = os.path.join(
+        REF, 'opt_thresholds/main_strong/holdout_fold=1')
+    paths = [
+        os.path.join(base, 'model_type=Cnn_9layers_Gru_FrameAtt',
+                     'loss_type=clip_bce/augmentation=specaugment_mixup',
+                     'batch_size=32', f'best_logmel_{q}.sed.valid.pkl')
+        for q in ('8k', '16k', '32k')
+    ] + [os.path.join(base, 'model_type=Cnn_9layers_Transformer_FrameAtt',
+                      'loss_type=clip_bce/augmentation=specaugment_mixup',
+                      'batch_size=32', 'best_logmel_16k.sed.valid.pkl')]
+    paths = [p for p in paths if os.path.exists(p)]
+    assert paths, 'no shipped threshold pickles found'
+
+    rng = np.random.RandomState(11)
+    frames = np.clip(rng.rand(8, 1000, 25) * 1.2 - 0.1, 0, 1)
+    frames[:, -1, :] = 0.0        # see test_reference_oracle note
+    output_dict = {
+        'audio_name': np.array([f'c{i}.wav' for i in range(8)]),
+        'framewise_output': frames}
+    for p in paths:
+        with open(p, 'rb') as f:
+            sed_params = pickle.load(f)
+        want = ref_pkg['utilities'].frame_prediction_to_event_prediction(
+            dict(output_dict), sed_params, 100)
+        got = events.frame_prediction_to_event_prediction(
+            output_dict, sed_params, frames_per_second=100)
+        assert got == want, os.path.basename(p)
