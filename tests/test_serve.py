@@ -701,3 +701,62 @@ def test_q4_device_decode_matches_host(engine):
     assert np.abs(f32 - fq4).max() < 0.08       # lossy but close
     ev, _ = engine.predict_clips(audio_io.q4_encode(clips))
     assert len(ev) == 6
+
+
+def test_bf16_serving_events_match_f32():
+    """bf16 conv-stack serving must decode (near-)identical events to
+    f32 on the bench distribution with the TRAINED bench checkpoint —
+    the precondition for ever flipping BENCH_BF16/engine dtype after the
+    round-3 device-time correction (BENCHMARKS.md: the 'bf16 buys
+    nothing' conclusion came from artifact timings; at fast link phases
+    compute is first-order, so bf16 may win e2e)."""
+    import jax.numpy as jnp
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    from bench import make_test_clips
+    from sed_tpu.utils.npz_ckpt import load_variables_npz
+
+    ckpt = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), 'tools', 'bench_checkpoint.npz')
+    if not _os.path.exists(ckpt):
+        pytest.skip('bench checkpoint not present')
+    variables = load_variables_npz(ckpt)
+    cfg = AUDIO_16K
+    clips = make_test_clips(8, cfg.sample_rate, seconds=5, seed=5)
+    pcm = (np.clip(clips, -1, 1) * 32767).astype(np.int16)
+
+    engines = {}
+    for tag, dtype in (('f32', None), ('bf16', jnp.bfloat16)):
+        model = get_model('Cnn_9layers_Gru_FrameAtt', cfg,
+                          compute_dtype=dtype)
+        engines[tag] = SedInferenceEngine(model, variables, cfg,
+                                          sample_duration=5,
+                                          overlap=True, batch_size=8)
+
+    fa, _ = engines['f32'].infer_framewise(pcm)
+    fb, _ = engines['bf16'].infer_framewise(pcm)
+    assert np.abs(fa - fb).max() < 0.05
+
+    ea, _ = engines['f32'].predict_clips(pcm)
+    eb, _ = engines['bf16'].predict_clips(pcm)
+
+    def flat(per_clip):
+        return {(i, e['event_label'], round(e['onset'], 2),
+                 round(e['offset'], 2))
+                for i, evs in enumerate(per_clip) for e in evs}
+
+    a, b = flat(ea), flat(eb)
+
+    def matched(src, dst):
+        hit = 0
+        for (i, lb, on, off) in src:
+            if any(i == j and lb == lb2 and abs(on - on2) <= 0.05
+                   and abs(off - off2) <= 0.05
+                   for (j, lb2, on2, off2) in dst):
+                hit += 1
+        return hit
+
+    total = max(len(a), len(b), 1)
+    assert len(a) > 0                     # trained model finds events
+    assert matched(a, b) + matched(b, a) >= 2 * 0.9 * total, (a, b)
