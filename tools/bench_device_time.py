@@ -26,6 +26,11 @@ Usage:
   python tools/bench_device_time.py forward [batch] [n] [model_type]
   python tools/bench_device_time.py train   [batch] [n] [model_type]
 
+NB: this targets the real chip (remote compiler + persistent cache).
+On the 1-vCPU host, XLA-compiling the N-iteration fwd+bwd loop takes
+>30 min — `train` mode is impractical on CPU (the chain was verified to
+trace/lower there; `forward` mode smoke-passes on CPU).
+
 ``BENCH_DTYPES=f32,bf16`` selects compute dtypes (default both).
 """
 
