@@ -492,3 +492,24 @@ def test_shipped_pickles_through_both_event_pipelines(ref_pkg):
         got = events.frame_prediction_to_event_prediction(
             output_dict, sed_params, frames_per_second=100)
         assert got == want, os.path.basename(p)
+
+
+# ---------------------------------------------------------------------------
+# Upstream bit-rot pin: the weak-supervision driver cannot even import
+# (main.py:25 imports DCASE2017Task4Dataset, which data_generator.py
+# does not define) — the rebuild's cli/main.py is a working rebuild.
+# ---------------------------------------------------------------------------
+
+def test_reference_weak_main_is_bitrotted(ref_pkg):
+    import importlib
+    sys.path.insert(0, os.path.join(REF, 'pytorch'))
+    sys.path.insert(0, os.path.join(REF, 'utils'))
+    try:
+        with pytest.raises(ImportError, match='DCASE2017Task4Dataset'):
+            importlib.import_module('main')
+    finally:
+        sys.path.pop(0)
+        sys.path.pop(0)
+    # ours imports and exposes the train/inference surface
+    from sed_tpu.cli import main as our_main
+    assert callable(our_main.main)
