@@ -92,7 +92,8 @@ class StreamingSed:
         self.sample_duration = engine.sample_duration
         self.window_samples = engine.window_samples
         self._chunks: List[np.ndarray] = []
-        self._total = 0                      # buffered samples
+        self._base = 0                       # samples dropped from front
+        self._total = 0                      # stream samples seen so far
         self._next_start = 0                 # next window start (seconds)
         self._sums: Optional[np.ndarray] = None   # (1, T, C) overlap-add
         self._win_frames: Optional[int] = None
@@ -107,10 +108,12 @@ class StreamingSed:
     # ------------------------------------------------------------------
 
     def _audio_slice(self, start_sample: int, length: int) -> np.ndarray:
-        """Gather [start_sample, start_sample+length) across chunks."""
+        """Gather [start_sample, start_sample+length) across the
+        retained chunks (absolute stream positions)."""
+        assert start_sample >= self._base, (
+            'window audio was already discarded')
         out = np.zeros(length, np.float32)
-        pos = 0
-        filled_any = False
+        pos = self._base
         for c in self._chunks:
             nxt = pos + len(c)
             lo = max(start_sample, pos)
@@ -118,12 +121,19 @@ class StreamingSed:
             if lo < hi:
                 out[lo - start_sample:hi - start_sample] = \
                     c[lo - pos:hi - pos]
-                filled_any = True
             pos = nxt
             if pos >= start_sample + length:
                 break
-        del filled_any
         return out
+
+    def _drop_consumed_audio(self) -> None:
+        """Raw audio before the next window's start is never read again
+        — keep memory O(window), not O(stream)."""
+        keep_from = self._next_start * self.sr
+        pos = self._base
+        while self._chunks and pos + len(self._chunks[0]) <= keep_from:
+            pos += len(self._chunks.pop(0))
+        self._base = pos
 
     def _process_ready(self) -> None:
         starts = []
@@ -138,6 +148,7 @@ class StreamingSed:
             for s in starts])
         framewise, _ = self.engine.infer_framewise(windows)
         self._add_windows(framewise, starts)
+        self._drop_consumed_audio()
 
     def _add_windows(self, framewise: np.ndarray, starts: List[int]):
         t_win = framewise.shape[1]

@@ -121,3 +121,14 @@ def test_stream_rejects_double_flush(engine):
         sess.feed(np.zeros(100, np.float32))
     with pytest.raises(AssertionError):
         sess.flush()
+
+
+def test_stream_drops_consumed_audio(engine, audio):
+    sr = AUDIO_16K.sample_rate
+    sess = StreamingSed(engine, audio_name='stream')
+    for i in range(0, len(audio), sr):
+        sess.feed(audio[i:i + sr])
+    retained = sum(len(c) for c in sess._chunks)
+    # only the current window span (+ partial chunk slack) stays resident
+    assert retained <= (engine.sample_duration + 2) * sr
+    sess.flush()
