@@ -13,14 +13,15 @@ Honest-wire reporting: the headline metric NAMES its wire container.  The
 default q6 wire is the repo's 6-bit block-scaled container (~61 KB/clip;
 float->q6 encode happens at file-WRITE time and is excluded from the
 timed region, which covers file read -> upload -> forward -> pull ->
-event decode -> XML).  Readings for the true-wav wires (int16 PCM and
-G.711 mu-law, both decoded from standard RIFF files inside the timed
-region) are taken back-to-back in the immediately ADJACENT link phase
-(headline first — the first timed draw starts as soon after launch as
-possible) and reported alongside in the `wires` field.
+event decode -> XML).  Readings for the true-wav wires (int16 PCM,
+G.711 mu-law, and 4-bit IMA ADPCM — all decoded from standard RIFF
+files inside the timed region) are taken back-to-back in the
+immediately ADJACENT link phase (headline first — the first timed draw
+starts as soon after launch as possible) and reported alongside in the
+`wires` field.
 
 Configuration (env vars):
-  BENCH_WIRE=q6|q5|q4|mulaw8|int16  headline wire (default q6)
+  BENCH_WIRE=q6|q5|q4|adpcm4|mulaw8|int16  headline wire (default q6)
   BENCH_MODE=resident|stream  resident (default): minimum-RPC bulk path;
                             stream: the r02 thread-pipelined path
   BENCH_THREADS             concurrent device_put upload chunks for the
@@ -172,13 +173,16 @@ def write_wire_files(clips, sr, wire, tmpdir):
             audio_io.save_qn(p, clips[i], sr, qbits)
         elif wire == 'mulaw8':
             audio_io.save_wav_mulaw(p, clips[i], sr)
+        elif wire == 'adpcm4':
+            audio_io.save_wav_adpcm(p, clips[i], sr)
         else:
             audio_io.save_wav(p, clips[i], sr)
         paths.append(p)
     if qbits:
         read = lambda p: audio_io.read_qn(p)[0]            # noqa: E731
-    elif wire == 'mulaw8':
-        read = lambda p: audio_io.fast_read_wav_mulaw(p)[0]  # noqa: E731
+    elif wire in ('mulaw8', 'adpcm4'):
+        # wire_reader_for sniffs the RIFF format tag (7 / 0x11)
+        read = audio_io.wire_reader_for(paths[0])
     else:
         read = lambda p: audio_io.fast_read_wav_int16(p)[0]  # noqa: E731
     return paths, read
@@ -187,6 +191,8 @@ def write_wire_files(clips, sr, wire, tmpdir):
 def encode_wire(clips, wire):
     """Host wire encode (only used for warmup buffers)."""
     from sed_tpu.data import audio_io
+    if wire == 'adpcm4':
+        return audio_io.adpcm_encode(clips)
     if wire.startswith('q'):
         return audio_io.qn_encode(clips, int(wire[1]))
     if wire == 'mulaw8':
@@ -380,8 +386,8 @@ def main():
     stage(f'{N_CLIPS} clips generated')
     tmpdir = tempfile.mkdtemp(prefix='sed_bench_')
     names = [f'clip{i:05d}.wav' for i in range(N_CLIPS)]
-    wires = [WIRE] + ([w for w in ('int16', 'mulaw8') if w != WIRE]
-                      if SECONDARY else [])
+    wires = [WIRE] + ([w for w in ('adpcm4', 'int16', 'mulaw8')
+                       if w != WIRE] if SECONDARY else [])
     files = {}
 
     # The serving link's throughput fluctuates over time; take the best

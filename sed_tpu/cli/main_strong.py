@@ -442,12 +442,14 @@ def get_parser() -> argparse.ArgumentParser:
                                   'reference uses 8 torch workers)')
             sub.add_argument('--train_wire', type=str, default='int16',
                              choices=['int16', 'mulaw8', 'q6', 'q5',
-                                      'q4'],
+                                      'q4', 'adpcm4'],
                              help='waveform wire format for train '
                                   'batches, dequantized on device: '
                                   'int16 (exact, default), mulaw8 '
                                   '(2x fewer h2d bytes), q6/q5/q4 '
-                                  'block-scaled (~5.2-7.8x fewer); '
+                                  'block-scaled (~5.2-7.8x fewer), '
+                                  'adpcm4 IMA ADPCM (~3.9x fewer, '
+                                  'q4-grade on noisy/tonal audio); '
                                   'the link is the measured train '
                                   'wall (BENCHMARKS.md)')
     return parser

@@ -347,6 +347,227 @@ def read_q4(path: str) -> Tuple[np.ndarray, int, int]:
     return read_qn(path)
 
 
+# ---------------------------------------------------------------------------
+# IMA ADPCM wire (WAVE_FORMAT_IMA_ADPCM, tag 0x11): a TRUE standard wav
+# codec at ~4.06 bits/sample — 33% narrower than the q6 container and a
+# byte-exact match for files produced by `ffmpeg -acodec adpcm_ima_wav`.
+#
+# Block layout (mono, block_align `ba` bytes): 4-byte header (int16 LE
+# predictor = sample 0, uint8 step index, reserved 0) + (ba-4)*2 nibbles
+# (low nibble first), so samples_per_block = 2*(ba-4) + 1.  Blocks are
+# independently decodable — the device decode runs ONE lax.scan of
+# spb-1 steps vectorized over every (clip, block) lane, so the
+# sequential predictor recursion costs scan-length, not clip-length.
+#
+# Differential coding buys ~2 bits of SNR over the block-scaled q4 wire
+# at the same rate (q4 measurably costs ER on the bench distribution;
+# see the qN section comment above).  Tables and the shift-add
+# reconstruction follow the IMA/DVI-4 spec exactly (the truncating
+# shift-add form, NOT the closed-form multiply, which differs by
+# rounding) so any standard decoder bit-matches `adpcm_decode_np`.
+# ---------------------------------------------------------------------------
+
+ADPCM_BLOCK_ALIGN = 256    # bytes/block -> 505 samples/block, 1.6% header
+
+IMA_STEP_TABLE = np.asarray([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    np.int32)
+
+IMA_INDEX_TABLE = np.asarray(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+
+def adpcm_samples_per_block(block_align: int = ADPCM_BLOCK_ALIGN) -> int:
+    assert block_align >= 8 and block_align % 4 == 0, block_align
+    return (block_align - 4) * 2 + 1
+
+
+def adpcm_bytes(samples: int,
+                block_align: int = ADPCM_BLOCK_ALIGN) -> int:
+    """WIRE bytes for `samples` samples: final partial block padded,
+    plus ONE trailing pad byte.  The pad byte makes the wire width odd
+    — every qN and mu-law width is even for any valid sample count, so
+    the decode dispatch (``ops/wire.dequant_wire``, width-keyed) can
+    never confuse an ADPCM buffer with another wire (without the pad,
+    e.g. 16384 samples -> ADPCM 8448 == q4 8448).  Wav files on disk
+    carry the raw blocks without the pad (``save_wav_adpcm``)."""
+    spb = adpcm_samples_per_block(block_align)
+    return -(-samples // spb) * block_align + 1
+
+
+def _adpcm_lanes(x: np.ndarray, block_align: int):
+    """float [-1,1] / int16 (B, S) -> int32 (B*nblocks, spb) lanes,
+    final block edge-padded (constant tails encode to near-zero
+    nibbles)."""
+    if x.dtype != np.int16:
+        x = np.clip(np.round(np.asarray(x, np.float32) * 32767.0),
+                    -32768, 32767).astype(np.int16)
+    b, s = x.shape
+    spb = adpcm_samples_per_block(block_align)
+    nbl = -(-s // spb)
+    pad = nbl * spb - s
+    if pad:
+        x = np.concatenate([x, np.repeat(x[:, -1:], pad, axis=1)], axis=1)
+    return x.astype(np.int32).reshape(b * nbl, spb), b, nbl, spb
+
+
+def adpcm_encode(x: np.ndarray,
+                 block_align: int = ADPCM_BLOCK_ALIGN) -> np.ndarray:
+    """float [-1,1] or int16 (B, S) -> (B, adpcm_bytes(S)) uint8.
+
+    Vectorized over every (clip, block) lane; the per-block initial
+    step index is seeded from the block's mean |diff| (blocks are
+    header-independent, so the cross-block index carry of scalar
+    encoders is traded for instant per-block adaptation — the index
+    reaches any level within ~7 nibbles regardless)."""
+    lanes, b, nbl, spb = _adpcm_lanes(x, block_align)
+    steps = IMA_STEP_TABLE
+    pred = lanes[:, 0].copy()
+    mean_diff = np.abs(np.diff(lanes, axis=1)).mean(axis=1)
+    index = np.clip(np.searchsorted(steps, mean_diff), 0, 88).astype(
+        np.int32)
+    header = np.empty((lanes.shape[0], 4), np.uint8)
+    header[:, 0] = pred & 0xFF
+    header[:, 1] = (pred >> 8) & 0xFF
+    header[:, 2] = index
+    header[:, 3] = 0
+    nibbles = np.empty((lanes.shape[0], spb - 1), np.uint8)
+    for t in range(1, spb):
+        step = steps[index]
+        diff = lanes[:, t] - pred
+        sign = (diff < 0).astype(np.int32) * 8
+        diff = np.abs(diff)
+        delta = np.zeros_like(pred)
+        vpdiff = step >> 3
+        for bit in (4, 2, 1):
+            ge = diff >= step
+            delta |= np.where(ge, bit, 0)
+            diff = np.where(ge, diff - step, diff)
+            vpdiff = np.where(ge, vpdiff + step, vpdiff)
+            step = step >> 1
+        pred = np.clip(np.where(sign, pred - vpdiff, pred + vpdiff),
+                       -32768, 32767)
+        nib = (sign | delta).astype(np.uint8)
+        nibbles[:, t - 1] = nib
+        index = np.clip(index + IMA_INDEX_TABLE[nib], 0, 88)
+    packed = nibbles[:, 0::2] | (nibbles[:, 1::2] << 4)  # low nibble 1st
+    blocks = np.concatenate([header, packed], axis=1).reshape(b, -1)
+    return np.concatenate(                # odd-width pad byte, see
+        [blocks, np.zeros((b, 1), np.uint8)], axis=1)  # adpcm_bytes
+
+
+def _adpcm_split(buf: np.ndarray, block_align: int):
+    """(B, adpcm_bytes(S)) uint8 -> (pred0 int32, index0 int32, nibbles
+    int32 (lanes, spb-1)) per-lane decode inputs (trailing pad byte
+    dropped)."""
+    b = buf.shape[0]
+    nbl = buf.shape[1] // block_align
+    blocks = buf[:, :nbl * block_align].reshape(
+        b, nbl, block_align).reshape(-1, block_align)
+    pred = (blocks[:, 0].astype(np.int32)
+            | (blocks[:, 1].astype(np.int32) << 8))
+    pred = np.where(pred >= 32768, pred - 65536, pred)
+    index = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
+    data = blocks[:, 4:].astype(np.int32)
+    nib = np.empty((blocks.shape[0], data.shape[1] * 2), np.int32)
+    nib[:, 0::2] = data & 0xF
+    nib[:, 1::2] = data >> 4
+    return pred, index, nib, b, nbl
+
+
+def adpcm_decode_np(buf: np.ndarray, samples: int,
+                    block_align: int = ADPCM_BLOCK_ALIGN) -> np.ndarray:
+    """Host-side reference decode (the engine decodes on device) ->
+    float32 (B, samples) in [-1, 1)."""
+    pred, index, nib, b, nbl = _adpcm_split(buf, block_align)
+    spb = adpcm_samples_per_block(block_align)
+    out = np.empty((pred.shape[0], spb), np.int32)
+    out[:, 0] = pred
+    steps = IMA_STEP_TABLE
+    for t in range(spb - 1):
+        n = nib[:, t]
+        step = steps[index]
+        diff = step >> 3
+        diff += np.where(n & 4, step, 0)
+        diff += np.where(n & 2, step >> 1, 0)
+        diff += np.where(n & 1, step >> 2, 0)
+        pred = np.clip(np.where(n & 8, pred - diff, pred + diff),
+                       -32768, 32767)
+        out[:, t + 1] = pred
+        index = np.clip(index + IMA_INDEX_TABLE[n], 0, 88)
+    out = out.reshape(b, nbl * spb)[:, :samples]
+    return (out / 32768.0).astype(np.float32)
+
+
+def save_wav_adpcm(path: str, x: np.ndarray, sr: int,
+                   block_align: int = ADPCM_BLOCK_ALIGN) -> None:
+    """Write audio as a standard IMA ADPCM wav (format tag 0x11)."""
+    x = np.asarray(x)
+    samples = int(x.shape[-1])
+    spb = adpcm_samples_per_block(block_align)
+    data = adpcm_encode(x[None], block_align)[0, :-1].tobytes()
+    n = len(data)
+    with open(path, 'wb') as f:
+        f.write(b'RIFF' + (4 + 28 + 12 + 8 + n).to_bytes(4, 'little')
+                + b'WAVE')
+        f.write(b'fmt ' + (20).to_bytes(4, 'little'))
+        f.write((0x11).to_bytes(2, 'little'))   # WAVE_FORMAT_IMA_ADPCM
+        f.write((1).to_bytes(2, 'little'))      # mono
+        f.write(int(sr).to_bytes(4, 'little'))
+        f.write((int(sr) * block_align // spb).to_bytes(4, 'little'))
+        f.write(int(block_align).to_bytes(2, 'little'))
+        f.write((4).to_bytes(2, 'little'))      # bits per sample
+        f.write((2).to_bytes(2, 'little'))      # cbSize
+        f.write(int(spb).to_bytes(2, 'little'))  # wSamplesPerBlock
+        f.write(b'fact' + (4).to_bytes(4, 'little'))
+        f.write(samples.to_bytes(4, 'little'))
+        f.write(b'data' + n.to_bytes(4, 'little'))
+        f.write(data)
+
+
+def fast_read_wav_adpcm(path: str) -> Tuple[np.ndarray, int, int, int]:
+    """Read an IMA ADPCM wav's raw block bytes (no transcoding — the
+    engine decodes on device) -> (uint8 blocks, sr, samples,
+    block_align)."""
+    with open(path, 'rb') as f:
+        buf = f.read()
+    assert buf[:4] == b'RIFF' and buf[8:12] == b'WAVE', path
+    pos, sr, tag, ba, spb, samples = 12, None, None, None, None, None
+    while pos + 8 <= len(buf):
+        chunk_id = buf[pos:pos + 4]
+        size = int.from_bytes(buf[pos + 4:pos + 8], 'little')
+        if chunk_id == b'fmt ':
+            tag = int.from_bytes(buf[pos + 8:pos + 10], 'little')
+            channels = int.from_bytes(buf[pos + 10:pos + 12], 'little')
+            sr = int.from_bytes(buf[pos + 12:pos + 16], 'little')
+            ba = int.from_bytes(buf[pos + 20:pos + 22], 'little')
+            assert tag == 0x11 and channels == 1, (tag, channels, path)
+            if size >= 20:
+                spb = int.from_bytes(buf[pos + 26:pos + 28], 'little')
+        elif chunk_id == b'fact':
+            samples = int.from_bytes(buf[pos + 8:pos + 12], 'little')
+        elif chunk_id == b'data':
+            assert tag == 0x11, f'no IMA ADPCM fmt chunk before data: {path}'
+            if spb is None:
+                spb = adpcm_samples_per_block(ba)
+            nbl = size // ba
+            if samples is None:
+                samples = nbl * spb
+            return (np.frombuffer(buf, np.uint8, count=nbl * ba,
+                                  offset=pos + 8), int(sr),
+                    int(samples), int(ba))
+        pos += 8 + size + (size & 1)
+    raise ValueError(f'no data chunk: {path}')
+
+
 def get_duration(path: str) -> float:
     """Duration in seconds (librosa.get_duration on a file)."""
     x, sr = load_audio(path, sr=None, mono=True)
@@ -421,15 +642,29 @@ def _wav_format_tag(path: str) -> int:
 def wire_reader_for(path: str):
     """Pick the serving-wire reader for a corpus by sniffing one file:
     ``.q4/.q5/.q6`` containers -> qN codes, mu-law wav (format tag 7) ->
-    raw G.711 codes, other wavs -> int16 PCM.  The returned
+    raw G.711 codes, IMA ADPCM wav (format tag 0x11, default block
+    align) -> raw block bytes, other wavs -> int16 PCM.  The returned
     ``reader(path) -> 1-D wire array`` feeds
     ``SedInferenceEngine.predict_files_resident`` (the engine
     dequantizes on device)."""
     ext = os.path.splitext(path)[1].lower()
     if ext in ('.q4', '.q5', '.q6'):
         return lambda p: read_qn(p)[0]
-    if _wav_format_tag(path) == 7:
+    tag = _wav_format_tag(path)
+    if tag == 7:
         return lambda p: fast_read_wav_mulaw(p)[0]
+    if tag == 0x11:
+        # device decode dispatches on buffer width computed from the
+        # DEFAULT block align — reject off-default files loudly here
+        # rather than mis-decoding downstream
+        def read_adpcm(p):
+            blocks, _, _, ba = fast_read_wav_adpcm(p)
+            assert ba == ADPCM_BLOCK_ALIGN, (
+                f'{p}: ADPCM block align {ba} != wire default '
+                f'{ADPCM_BLOCK_ALIGN} (re-encode with save_wav_adpcm)')
+            # odd-width wire pad byte (see adpcm_bytes)
+            return np.concatenate([blocks, np.zeros(1, np.uint8)])
+        return read_adpcm
     return lambda p: fast_read_wav_int16(p)[0]
 
 

@@ -50,7 +50,8 @@ class AudiosetDataset:
         self._tls = threading.local()
         self._all: List[weakref.ref] = []   # for close() across threads
         self._lock = threading.Lock()
-        assert wire in (None, 'int16', 'mulaw8', 'q4', 'q5', 'q6'), wire
+        assert wire in (None, 'int16', 'mulaw8', 'q4', 'q5', 'q6',
+                        'adpcm4'), wire
         if wire == 'int16':
             wire = None          # int16 IS the packed storage format
             dequantize = False
@@ -70,6 +71,9 @@ class AudiosetDataset:
             # mulaw_encode takes int16 natively (exact table lookup; a
             # float32 round-trip would truncate 1-LSB samples)
             out = audio_io.mulaw_encode(w)
+        elif self.wire == 'adpcm4':
+            out = np.stack([audio_io.adpcm_encode(row[None])[0]
+                            for row in w])
         else:
             # PER-CLIP encode on purpose: one (24, 160000) batch
             # qn_encode builds ~23 MB of bit-matrix intermediates and

@@ -21,6 +21,11 @@ Wire formats, recognized from dtype + buffer width:
   decode is PURE ELEMENTWISE (static slices per bit-phase group): a
   gather-based decode measured ~150 ms per 256-clip batch of device
   time, this formulation is free.
+* uint8 IMA ADPCM (`audio_io.adpcm_encode`, standard wav tag 0x11 at
+  ~4.06 bits/sample — half of mu-law's bytes; SNR-beats q4 on natural
+  broadband audio, q4-grade on noise/near-Nyquist tones — see
+  tests/test_adpcm.py) — one lax.scan over the 505-sample block
+  recursion, vectorized across every (clip, block) lane.
 
 This is the single implementation used by the serving engine
 (`serve/engine.py`) and the train step (`train/step.py`).
@@ -37,10 +42,21 @@ __all__ = ['dequant_wire', 'wire_widths']
 
 
 def wire_widths(samples: int) -> dict:
-    """Map uint8 wire width -> qN bit count for a clip of `samples`."""
-    if samples % audio_io.Q4_BLOCK != 0:
-        return {}
-    return {audio_io.qn_bytes(samples, n): n for n in audio_io.QN_BITS}
+    """Map uint8 wire width -> decode tag for a clip of `samples`:
+    a qN bit count (int) or the string ``'adpcm4'`` (IMA ADPCM at the
+    default block align).  The ADPCM wire width is odd by construction
+    (``audio_io.adpcm_bytes`` trailing pad byte) while every qN and
+    mu-law width is even, so the width-keyed dispatch is collision-free
+    — asserted here, not assumed."""
+    widths: dict = {}
+    if samples % audio_io.Q4_BLOCK == 0:
+        widths = {audio_io.qn_bytes(samples, n): n
+                  for n in audio_io.QN_BITS}
+    aw = audio_io.adpcm_bytes(samples)
+    assert aw % 2 == 1 and aw not in widths and aw != samples, (
+        samples, aw)
+    widths[aw] = 'adpcm4'
+    return widths
 
 
 def dequant_wire(wav, samples: int = None):
@@ -64,6 +80,8 @@ def dequant_wire(wav, samples: int = None):
     width_bits = wire_widths(samples)
     if wav.dtype == jnp.int16:
         return wav.astype(jnp.float32) / 32767.0
+    if wav.dtype == jnp.uint8 and width_bits.get(wav.shape[-1]) == 'adpcm4':
+        return _adpcm_decode(wav, samples)
     if wav.dtype == jnp.uint8 and wav.shape[-1] in width_bits:
         bits = width_bits[wav.shape[-1]]
         b = wav.shape[0]
@@ -101,3 +119,44 @@ def dequant_wire(wav, samples: int = None):
         table = jnp.asarray(audio_io.mulaw_decode_table())
         return jnp.take(table, wav.astype(jnp.int32))
     return wav
+
+
+def _adpcm_decode(wav, samples: int):
+    """IMA ADPCM device decode, bit-exact to ``audio_io.adpcm_decode_np``.
+
+    The predictor recursion is sequential WITHIN a block only, so one
+    ``lax.scan`` of spb-1 steps runs vectorized over every
+    (clip, block) lane — decode device time scales with the 505-sample
+    block length, not the clip length.  Each step is a handful of
+    elementwise int32 ops + two small table gathers (89/16 entries)."""
+    ba = audio_io.ADPCM_BLOCK_ALIGN
+    spb = audio_io.adpcm_samples_per_block(ba)
+    b = wav.shape[0]
+    nbl = (wav.shape[-1] - 1) // ba          # trailing pad byte dropped
+    blocks = jax.lax.slice_in_dim(wav, 0, nbl * ba, axis=1).reshape(
+        b * nbl, ba).astype(jnp.int32)
+    pred0 = blocks[:, 0] | (blocks[:, 1] << 8)
+    pred0 = jnp.where(pred0 >= 32768, pred0 - 65536, pred0)
+    idx0 = jnp.clip(blocks[:, 2], 0, 88)
+    data = blocks[:, 4:]
+    nib = jnp.stack([data & 0xF, data >> 4], axis=-1).reshape(
+        b * nbl, spb - 1)                    # low nibble first
+    steps = jnp.asarray(audio_io.IMA_STEP_TABLE)
+    itab = jnp.asarray(audio_io.IMA_INDEX_TABLE)
+
+    def step_fn(carry, n):
+        pred, idx = carry
+        step = jnp.take(steps, idx)
+        diff = ((step >> 3)
+                + jnp.where((n & 4) != 0, step, 0)
+                + jnp.where((n & 2) != 0, step >> 1, 0)
+                + jnp.where((n & 1) != 0, step >> 2, 0))
+        pred = jnp.clip(jnp.where((n & 8) != 0, pred - diff, pred + diff),
+                        -32768, 32767)
+        idx = jnp.clip(idx + jnp.take(itab, n), 0, 88)
+        return (pred, idx), pred
+
+    _, ys = jax.lax.scan(step_fn, (pred0, idx0), nib.T)
+    out = jnp.concatenate([pred0[None], ys], axis=0)      # (spb, lanes)
+    out = out.T.reshape(b, nbl * spb)[:, :samples]
+    return out.astype(jnp.float32) / 32768.0

@@ -1106,9 +1106,7 @@ class SedInferenceEngine:
                 xmls.extend(xm)
             return per_clip, xmls
         widths = {self.window_samples}
-        if self.window_samples % audio_io.Q4_BLOCK == 0:
-            widths.update(audio_io.qn_bytes(self.window_samples, n)
-                          for n in audio_io.QN_BITS)
+        widths.update(wire_ops.wire_widths(self.window_samples))
         assert wavs.shape[1] in widths, (wavs.shape, widths)
         p = self.sed_params.per_class(len(self.labels)) \
             if hasattr(self.sed_params, 'per_class') else self.sed_params

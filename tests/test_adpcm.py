@@ -1,0 +1,279 @@
+"""IMA ADPCM wire tests: spec-oracle decode, device bit-exactness,
+RIFF round trip, width dispatch, and serving parity.
+
+The adpcm4 wire is a TRUE standard wav codec (WAVE_FORMAT_IMA_ADPCM,
+tag 0x11) at ~4.06 bits/sample — half of mu-law's bytes, 33% narrower
+than the q6 container.  Quality is signal-dependent: on natural
+broadband audio its differential coding SNR-beats block-scaled q4 by
+3-16 dB, but white noise and near-Nyquist tones defeat prediction
+(slope overload), so on the tone-heavy bench distribution it is
+q4-grade (event match ~0.65 vs int16; see the trained-checkpoint test
+below).  It is the narrowest TRUE-WAV wire for loss-tolerant serving;
+mulaw8 stays the parity-grade true-wav wire.  The reference ships raw
+PCM over its link (``pytorch/predict.py:297-339``); this wire exists
+because the tunnel link is the measured serving wall (BENCHMARKS.md).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from sed_tpu.config import AUDIO_16K
+from sed_tpu.data import audio_io
+from sed_tpu.models.registry import get_model
+from sed_tpu.ops import wire
+from sed_tpu.serve.engine import SedInferenceEngine
+
+
+@pytest.fixture(scope='module')
+def engine():
+    cfg = AUDIO_16K
+    model = get_model('Cnn_9layers_Gru_FrameAtt', cfg)
+    wav = np.zeros((1, cfg.sample_rate * 5), np.float32)
+    variables = model.init({'params': jax.random.PRNGKey(0)}, wav,
+                           train=False)
+    return SedInferenceEngine(model, variables, cfg, sample_duration=5,
+                              overlap=True, batch_size=8)
+
+
+def _test_signal(n, b=2, seed=0):
+    """Bandlimited-ish multi-tone + filtered noise, full-ish scale."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / 16000.0
+    x = np.zeros((b, n), np.float32)
+    for i in range(b):
+        for f0 in rng.uniform(80, 3000, 4):
+            x[i] += rng.uniform(0.1, 0.3) * np.sin(
+                2 * np.pi * f0 * t + rng.rand()).astype(np.float32)
+        noise = np.cumsum(rng.randn(n)).astype(np.float32)
+        x[i] += 0.05 * noise / max(1.0, np.abs(noise).max())
+    peak = np.abs(x).max(axis=1, keepdims=True)
+    return np.clip(x / np.maximum(peak, 1e-6) * 0.9, -1, 1)
+
+
+def _snr_db(ref, dec):
+    return 10 * np.log10((ref ** 2).mean(axis=1)
+                         / ((ref - dec) ** 2).mean(axis=1))
+
+
+def _scalar_spec_decode(buf_1d, samples, ba=audio_io.ADPCM_BLOCK_ALIGN):
+    """Straight-from-spec scalar decoder (block by block, nibble by
+    nibble) — an independent formulation of the vectorized lane decode."""
+    steps = audio_io.IMA_STEP_TABLE
+    itab = audio_io.IMA_INDEX_TABLE
+    out = []
+    nbl = len(buf_1d) // ba
+    for bi in range(nbl):
+        blk = buf_1d[bi * ba:(bi + 1) * ba]
+        pred = int(blk[0]) | (int(blk[1]) << 8)
+        if pred >= 32768:
+            pred -= 65536
+        index = min(max(int(blk[2]), 0), 88)
+        out.append(pred)
+        for byte in blk[4:]:
+            for nib in (int(byte) & 0xF, int(byte) >> 4):
+                step = int(steps[index])
+                diff = step >> 3
+                if nib & 4:
+                    diff += step
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 1:
+                    diff += step >> 2
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = min(max(pred, -32768), 32767)
+                out.append(pred)
+                index = min(max(index + int(itab[nib]), 0), 88)
+    return (np.asarray(out[:samples], np.float32) / 32768.0)
+
+
+def test_adpcm_decode_matches_scalar_spec_oracle():
+    """Vectorized lane decode == per-sample spec pseudocode, on random
+    block bytes (random headers exercise the index/predictor clamps
+    far harder than encoder output does)."""
+    rng = np.random.RandomState(7)
+    ba = audio_io.ADPCM_BLOCK_ALIGN
+    spb = audio_io.adpcm_samples_per_block(ba)
+    samples = 2 * spb + 123                 # truncated final block
+    width = audio_io.adpcm_bytes(samples)
+    buf = rng.randint(0, 256, (3, width), dtype=np.uint8)
+    got = audio_io.adpcm_decode_np(buf, samples)
+    for i in range(3):
+        ref = _scalar_spec_decode(buf[i, :-1], samples)
+        np.testing.assert_array_equal(got[i], ref)
+
+
+def test_adpcm_roundtrip_snr_beats_q4():
+    """adpcm4's differential coding must clear the block-scaled q4 wire
+    at the same ~4-bit rate on BOTH signal regimes: broadband content
+    (measured adpcm ~23-25 dB vs q4 ~20 dB vs q6 ~33 dB) and tonal
+    content, where the small-slope prediction gain puts adpcm at
+    q6-grade SNR (~36-40 dB) despite 2 fewer bits/sample."""
+    x = _test_signal(16000)
+    dec = audio_io.adpcm_decode_np(audio_io.adpcm_encode(x), 16000)
+    snr = _snr_db(x, dec)
+    q4 = audio_io.qn_decode_np(audio_io.qn_encode(x, 4), 16000, 4)
+    snr_q4 = _snr_db(x, q4)
+    assert snr.min() >= 20.0, snr
+    assert (snr - snr_q4).min() >= 2.0, (snr, snr_q4)
+
+    t = np.arange(16000) / 16000.0
+    tone = (0.7 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[None]
+    snr_tone = _snr_db(tone, audio_io.adpcm_decode_np(
+        audio_io.adpcm_encode(tone), 16000))
+    snr_q6_tone = _snr_db(tone, audio_io.qn_decode_np(
+        audio_io.qn_encode(tone, 6), 16000, 6))
+    assert snr_tone.min() >= 33.0, snr_tone
+    assert snr_tone.min() >= snr_q6_tone.min() - 3.0, (
+        snr_tone, snr_q6_tone)
+    # full-scale square wave: the clamp paths survive a round trip
+    sq = np.where(np.arange(2560) % 256 < 128, 0.999,
+                  -0.999).astype(np.float32)[None]
+    dsq = audio_io.adpcm_decode_np(audio_io.adpcm_encode(sq), 2560)
+    assert np.abs(dsq).max() <= 1.0 and np.isfinite(dsq).all()
+
+
+def test_adpcm_device_decode_bit_exact():
+    """ops/wire device decode == numpy reference, exactly (both are
+    integer recursions), including final-block truncation; float path
+    through the engine's samples-keyed dispatch."""
+    import jax.numpy as jnp
+    for samples in (1280, 16000):
+        x = _test_signal(samples, seed=samples)
+        buf = audio_io.adpcm_encode(x)
+        widths = wire.wire_widths(samples)
+        assert widths[buf.shape[1]] == 'adpcm4'
+        got = np.asarray(wire.dequant_wire(jnp.asarray(buf), samples))
+        np.testing.assert_array_equal(
+            got, audio_io.adpcm_decode_np(buf, samples))
+
+
+def test_adpcm_wire_width_unambiguous():
+    """The trailing pad byte keeps the ADPCM wire width odd, so the
+    width-keyed decode dispatch can never shadow qN / mu-law — checked
+    at the lengths where the padless widths DO collide (16384: q4 ==
+    8448; 256: mu-law == 256)."""
+    for samples in (256, 16384, 80000, 160000, 1280):
+        w = wire.wire_widths(samples)
+        aw = audio_io.adpcm_bytes(samples)
+        assert aw % 2 == 1 and w[aw] == 'adpcm4'
+        assert sorted(w) == sorted(set(w)) and samples not in w
+
+
+def test_adpcm_wav_file_roundtrip(tmp_path):
+    """save_wav_adpcm writes a compliant RIFF (fmt tag 0x11, cbSize 2,
+    wSamplesPerBlock, fact chunk) that fast_read_wav_adpcm and the
+    wire_reader_for sniffer both recover byte-exactly."""
+    x = _test_signal(7000)[0]               # non-multiple of 505
+    p = str(tmp_path / 'a.wav')
+    audio_io.save_wav_adpcm(p, x, 16000)
+    blocks, sr, samples, ba = audio_io.fast_read_wav_adpcm(p)
+    assert (sr, samples, ba) == (16000, 7000, audio_io.ADPCM_BLOCK_ALIGN)
+    enc = audio_io.adpcm_encode(x[None])
+    np.testing.assert_array_equal(blocks, enc[0, :-1])
+    r = audio_io.wire_reader_for(p)
+    got = r(p)
+    np.testing.assert_array_equal(got, enc[0])
+    np.testing.assert_array_equal(
+        audio_io.adpcm_decode_np(got[None], 7000),
+        audio_io.adpcm_decode_np(enc, 7000))
+    with open(p, 'rb') as f:
+        raw = f.read()
+    assert raw[20:22] == b'\x11\x00'        # format tag
+    assert int.from_bytes(raw[32:34], 'little') == ba
+    assert int.from_bytes(raw[34:36], 'little') == 4   # bits/sample
+
+
+def test_dataset_adpcm_wire_encode():
+    from sed_tpu.data.dataset import AudiosetDataset
+    ds = AudiosetDataset(wire='adpcm4')
+    rng = np.random.RandomState(1)
+    w = (rng.uniform(-1, 1, (3, 1280)) * 32767).astype(np.int16)
+    enc = ds._encode_wire(w)
+    np.testing.assert_array_equal(enc, audio_io.adpcm_encode(w))
+    np.testing.assert_array_equal(ds._encode_wire(w[0]), enc[0])
+
+
+def test_adpcm_serving_tracks_f32(engine):
+    """Engine framewise outputs through the adpcm4 wire track the f32
+    path about as closely as the q6 wire does (both q6-grade SNR)."""
+    import jax.numpy as jnp
+    import sys as _sys, os as _os
+    s = engine.window_samples
+    rng = np.random.RandomState(11)
+    x = rng.uniform(-0.6, 0.6, (2, s)).astype(np.float32)
+    buf = audio_io.adpcm_encode(x)
+    dec = np.asarray(engine._prep(jnp.asarray(buf)))
+    np.testing.assert_array_equal(dec, audio_io.adpcm_decode_np(buf, s))
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    from bench import make_test_clips
+    clips = make_test_clips(6, AUDIO_16K.sample_rate, seconds=5, seed=9)
+    pcm = (np.clip(clips, -1, 1) * 32767).astype(np.int16)
+    f16, _ = engine.infer_framewise(pcm)
+    fad = engine.infer_framewise(audio_io.adpcm_encode(clips))[0]
+    # the same accepted band as the q4 wire (test_serve: < 0.08); on an
+    # untrained net the framewise max-delta is a loose proxy — the
+    # trained-checkpoint event parity below is the real gate
+    assert np.abs(f16 - fad).max() < 0.05
+
+
+def test_adpcm_serving_events_match_int16_trained():
+    """adpcm4-wire event quality on the TRAINED bench checkpoint, pinned
+    at its MEASURED level (same harness as the bf16 parity test).
+
+    The bench distribution (white noise floor + tone bursts up to the
+    model's class bands) is close to 4-bit ADPCM's worst case — white
+    noise defeats differential prediction and near-Nyquist tones hit
+    slope overload (SNR ceiling ~23 dB regardless of block size;
+    block-size A/B recorded in BENCHMARKS.md).  Measured: ~0.65 of
+    events match at 0.3 s tolerance vs the int16 wire (q4 ~0.9, q6
+    1.0, on natural broadband audio adpcm4 SNR-beats q4 by 3-16 dB) —
+    so adpcm4 is the narrowest TRUE-WAV wire for loss-tolerant
+    serving, mulaw8 the parity-grade true-wav wire, q6 the
+    parity-grade narrow wire.  This test pins that floor so codec
+    regressions are visible."""
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    from bench import make_test_clips
+    from sed_tpu.utils.npz_ckpt import load_variables_npz
+
+    ckpt = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), 'tools', 'bench_checkpoint.npz')
+    if not _os.path.exists(ckpt):
+        pytest.skip('bench checkpoint not present')
+    variables = load_variables_npz(ckpt)
+    cfg = AUDIO_16K
+    model = get_model('Cnn_9layers_Gru_FrameAtt', cfg)
+    eng = SedInferenceEngine(model, variables, cfg, sample_duration=5,
+                             overlap=True, batch_size=8)
+    # 32 clips: at 8 the measured ~0.65 match fraction has +-0.15 of
+    # small-sample noise (9 vs 26 base events)
+    clips = make_test_clips(32, cfg.sample_rate, seconds=5, seed=5)
+    pcm = (np.clip(clips, -1, 1) * 32767).astype(np.int16)
+
+    ea, _ = eng.predict_clips(pcm)
+    eb, _ = eng.predict_clips(audio_io.adpcm_encode(clips))
+
+    def flat(per_clip):
+        return {(i, e['event_label'], round(e['onset'], 2),
+                 round(e['offset'], 2))
+                for i, evs in enumerate(per_clip) for e in evs}
+
+    a, b = flat(ea), flat(eb)
+
+    def matched(src, dst):
+        hit = 0
+        for (i, lb, on, off) in src:
+            if any(i == j and lb == lb2 and abs(on - on2) <= 0.3
+                   and abs(off - off2) <= 0.3
+                   for (j, lb2, on2, off2) in dst):
+                hit += 1
+        return hit
+
+    total = max(len(a) + len(b), 1)
+    assert len(a) > 0                     # trained model finds events
+    assert len(b) >= 0.5 * len(a), (a, b)
+    assert matched(a, b) + matched(b, a) >= 0.55 * total, (a, b)
