@@ -423,6 +423,24 @@ def adpcm_encode(x: np.ndarray,
                  block_align: int = ADPCM_BLOCK_ALIGN) -> np.ndarray:
     """float [-1,1] or int16 (B, S) -> (B, adpcm_bytes(S)) uint8.
 
+    Dispatches to the native C++ encoder when available (bit-exact,
+    ~20x faster — the numpy encode's spb-1-step recursion was the
+    measured train-wire bottleneck on the 1-vCPU host: 0.37 s per
+    24x10 s batch vs ~20 ms native), falling back to
+    ``adpcm_encode_np``."""
+    from sed_tpu.native import adpcm_native
+    if adpcm_native.native_available():
+        if x.dtype != np.int16:
+            x = np.clip(np.round(np.asarray(x, np.float32) * 32767.0),
+                        -32768, 32767).astype(np.int16)
+        return adpcm_native.encode(x, block_align)
+    return adpcm_encode_np(x, block_align)
+
+
+def adpcm_encode_np(x: np.ndarray,
+                    block_align: int = ADPCM_BLOCK_ALIGN) -> np.ndarray:
+    """Pure-numpy encode (the native encoder's bit-exactness oracle).
+
     Vectorized over every (clip, block) lane; the per-block initial
     step index is seeded from the block's mean |diff| (blocks are
     header-independent, so the cross-block index carry of scalar

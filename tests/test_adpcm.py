@@ -103,6 +103,31 @@ def test_adpcm_decode_matches_scalar_spec_oracle():
         np.testing.assert_array_equal(got[i], ref)
 
 
+def test_adpcm_native_encoder_bit_exact():
+    """The C++ encoder (``native/adpcm_codec.cc``) == the numpy encoder
+    byte-for-byte: random int16 incl. full-scale extremes (clamp paths),
+    float input, partial final blocks, and multi-block clips.  The
+    numpy path stays as ``adpcm_encode_np`` so the oracle relation is
+    testable even where g++ exists."""
+    from sed_tpu.native import adpcm_native
+    if not adpcm_native.native_available():
+        pytest.skip('g++ unavailable')
+    rng = np.random.RandomState(3)
+    for samples in (17, 505, 506, 1280, 16000, 7000):
+        x = rng.randint(-32768, 32768, (3, samples)).astype(np.int16)
+        x[0, :8] = [32767, -32768, 32767, -32768, 0, -1, 1, -32768]
+        np.testing.assert_array_equal(audio_io.adpcm_encode(x),
+                                      audio_io.adpcm_encode_np(x))
+    xf = _test_signal(9001, b=2, seed=4)
+    np.testing.assert_array_equal(audio_io.adpcm_encode(xf),
+                                  audio_io.adpcm_encode_np(xf))
+    # non-default block align through both paths
+    x = rng.randint(-32768, 32768, (2, 700)).astype(np.int16)
+    np.testing.assert_array_equal(
+        audio_io.adpcm_encode(x, block_align=64),
+        audio_io.adpcm_encode_np(x, block_align=64))
+
+
 def test_adpcm_roundtrip_snr_beats_q4():
     """adpcm4's differential coding must clear the block-scaled q4 wire
     at the same ~4-bit rate on BOTH signal regimes: broadband content
