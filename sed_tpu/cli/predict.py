@@ -96,6 +96,7 @@ def _predict_resident(args, engine, out_dir, audio_files):
         audio_files, reader, names=names,
         upload_threads=args.upload_threads,
         max_pass_clips=args.max_pass_clips or None,
+        launch_chunks=getattr(args, 'launch_chunks', 1),
         telemetry=telemetry)
     for name, xml in zip(names, xmls):
         with open(os.path.join(out_dir,
@@ -232,6 +233,11 @@ def get_parser():
             sub.add_argument('--upload_threads', type=int, default=4,
                              help='concurrent device_put streams for '
                                   '--resident uploads')
+            sub.add_argument('--launch_chunks', type=int, default=1,
+                             help='split each --resident pass into m '
+                                  'concurrently dispatched upload+launch'
+                                  '+pull chunks so transfer overlaps '
+                                  'device compute (fast links; exact)')
             sub.add_argument('--max_pass_clips', type=int, default=0,
                              help='bound device memory for --resident: '
                                   'serve at most this many clips per '

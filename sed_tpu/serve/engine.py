@@ -800,8 +800,17 @@ class SedInferenceEngine:
         per-batch stream capacity)."""
         return 2 * n_clips
 
+    def _chunk_batches(self, n_batches: int, m: int) -> List[int]:
+        """Split ``n_batches`` forward batches into ``m`` contiguous
+        launch chunks, as equal as possible (equal chunks share ONE
+        compiled program; at most two programs exist per pass shape)."""
+        m = max(1, min(int(m), n_batches))
+        base, extra = divmod(n_batches, m)
+        return [base + (1 if i < extra else 0) for i in range(m)]
+
     def warmup_resident(self, n_clips: int, width: int, dtype,
-                        upload_threads: int = 2) -> None:
+                        upload_threads: int = 2,
+                        launch_chunks: int = 1) -> None:
         """Compile + execute the resident program for this pass shape
         WITHOUT shipping a corpus through the link.
 
@@ -818,6 +827,17 @@ class SedInferenceEngine:
         assert self.mesh is None, 'resident paths are single-device'
         bs = self.batch_size
         n_batches = -(-n_clips // bs)
+        if launch_chunks > 1:
+            # the chunked path runs one single-chunk program per launch
+            # chunk — warm each DISTINCT chunk shape (at most two)
+            for nb in sorted(set(self._chunk_batches(n_batches,
+                                                     launch_chunks))):
+                fn = self._resident_pipeline(nb, width, np.dtype(dtype),
+                                             (nb * bs,))
+                out = fn(self.variables,
+                         (jnp.zeros((nb * bs, width), np.dtype(dtype)),))
+                np.asarray(out[0] if isinstance(out, tuple) else out)
+            return
         rows = n_batches * bs
         k = max(1, min(int(upload_threads), n_clips))
         base, extra = divmod(rows, k)
@@ -833,7 +853,8 @@ class SedInferenceEngine:
     def predict_clips_resident(self, wavs: np.ndarray,
                                names: Optional[List[str]] = None,
                                upload_threads: int = 2,
-                               telemetry: Optional[dict] = None
+                               telemetry: Optional[dict] = None,
+                               launch_chunks: int = 1
                                ) -> Tuple[List[List[dict]], List[str]]:
         """N fixed-length clips -> per-clip (events, XML) in the minimum
         number of tunnel round trips.
@@ -858,10 +879,23 @@ class SedInferenceEngine:
         and transfer byte counts (upload_s/launch_s/pull_s/decode_s,
         bytes_h2d/bytes_d2h, rpcs).  Single-device only (the mesh path
         shards per batch; use ``predict_clips`` there).
+
+        ``launch_chunks=m > 1`` splits the pass into ``m`` contiguous
+        launch chunks, each its own upload + single-chunk program +
+        pull, dispatched concurrently: chunk i's device compute (and
+        host decode) overlaps chunk i+1's transfer.  Dispatches are
+        async, so the extra launches add no blocking round trips; the
+        win is ~min(upload, compute) of wall time on fast links where
+        compute is a first-order term (BENCHMARKS.md round-3 device
+        times).  Equal chunks share one compiled program (at most two
+        programs per pass shape).  Exact — same events as m=1.
         """
         assert self.mesh is None, (
             'predict_clips_resident is single-device; use predict_clips '
             'with a mesh')
+        if launch_chunks > 1:
+            return self._predict_clips_resident_chunked(
+                wavs, names, launch_chunks, telemetry)
         n, width = wavs.shape
         if names is None:
             names = [f'clip{i}.wav' for i in range(n)]
@@ -938,11 +972,133 @@ class SedInferenceEngine:
                 rpcs=k + 2, n_batches=n_batches)
         return per_clip, xmls
 
+    def _predict_clips_resident_chunked(self, wavs: np.ndarray,
+                                        names: Optional[List[str]],
+                                        m: int,
+                                        telemetry: Optional[dict]
+                                        ) -> Tuple[List[List[dict]],
+                                                   List[str]]:
+        """Chunked-launch resident pass (see ``predict_clips_resident``
+        ``launch_chunks``): one upload + one single-chunk program + one
+        async pull per chunk, all dispatched from concurrent threads so
+        transfers, device compute, and host decode pipeline against
+        each other."""
+        n, width = wavs.shape
+        bs = self.batch_size
+        n_batches = -(-n // bs)
+        rows = n_batches * bs
+        if rows > n:
+            wavs = np.concatenate(
+                [wavs, np.zeros((rows - n, width), wavs.dtype)], axis=0)
+
+        def seg(lo, hi):
+            return wavs[lo:hi]
+
+        return self._resident_chunked_core(seg, n, width, wavs.dtype,
+                                           names, m, telemetry)
+
+    def _resident_chunked_core(self, get_rows, n: int, width: int,
+                               dtype, names: Optional[List[str]],
+                               m: int, telemetry: Optional[dict]
+                               ) -> Tuple[List[List[dict]], List[str]]:
+        """Shared chunked-launch resident engine: ``get_rows(lo, hi)``
+        returns the host wire buffer for padded rows ``[lo, hi)`` (rows
+        ``>= n`` are zero pads).  Each chunk thread builds its buffer,
+        uploads it, dispatches its single-chunk program, and starts the
+        async pull; the main thread then materializes and decodes the
+        chunks in order, so transfer / compute / host decode pipeline.
+        Telemetry phases: ``upload_s`` is dispatch wall (everything is
+        async), ``pull_s`` spans transfer+compute+pull+decode
+        interleaved per chunk, ``decode_s`` is XML assembly."""
+        if names is None:
+            names = [f'clip{i}.wav' for i in range(n)]
+        bs = self.batch_size
+        n_batches = -(-n // bs)
+        nbs = self._chunk_batches(n_batches, m)
+        m = len(nbs)
+        starts = np.cumsum([0] + [nb * bs for nb in nbs])
+        # build (don't yet compile) the per-chunk programs on the main
+        # thread so the cache dict isn't mutated concurrently
+        fns = {nb: self._resident_pipeline(nb, width, np.dtype(dtype),
+                                           (nb * bs,))
+               for nb in set(nbs)}
+        topk = self.pull_format == 'topk'
+        outs: List[Optional[tuple]] = [None] * m
+        errs: List[BaseException] = []
+
+        t0 = time.time()
+
+        def _run(i):
+            try:
+                buf = get_rows(int(starts[i]), int(starts[i + 1]))
+                out = fns[nbs[i]](self.variables, (jax.device_put(buf),))
+                tgt = out[0] if topk else out
+                try:
+                    tgt.copy_to_host_async()
+                except Exception:
+                    pass
+                outs[i] = out
+            except BaseException as e:
+                errs.append(e)
+
+        if m == 1:
+            _run(0)
+        else:
+            ths = [threading.Thread(target=_run, args=(i,))
+                   for i in range(m)]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join()
+        if errs:
+            raise errs[0]
+        t1 = time.time()
+
+        p = self.sed_params.per_class(len(self.labels)) \
+            if hasattr(self.sed_params, 'per_class') else self.sed_params
+        per_clip: List[List[dict]] = [[] for _ in range(n)]
+        pulled_bytes = 0
+        tb = self._track_bytes
+        for i in range(m):
+            out = outs[i]
+            tgt = out[0] if topk else out
+            buf = np.asarray(tgt)
+            pulled_bytes += buf.nbytes
+            i0 = int(starts[i])
+            valid = min(n - i0, nbs[i] * bs)
+            if topk:
+                self._decode_topk_into(per_clip, names, p, buf, out[1],
+                                       i0, valid)
+            else:
+                b = buf[:valid]
+                act_n, act_c = np.nonzero(b[:, :, :tb].any(axis=2))
+                self._decode_tracks_into(per_clip, names, p,
+                                         b[act_n, act_c], act_n, act_c,
+                                         i0)
+        t2 = time.time()
+        xmls = [
+            xml_writer.events_to_xml(
+                sorted(evs, key=lambda e: e['onset']), names[i],
+                fallback_span=(0, self.sample_duration))
+            for i, evs in enumerate(per_clip)
+        ]
+        t3 = time.time()
+        if telemetry is not None:
+            telemetry.update(
+                upload_s=round(t1 - t0, 4), launch_s=0.0,
+                pull_s=round(t2 - t1, 4), decode_s=round(t3 - t2, 4),
+                bytes_h2d=(int(n_batches) * bs * int(width)
+                           * np.dtype(dtype).itemsize),
+                bytes_d2h=int(pulled_bytes),
+                rpcs=3 * m, n_batches=n_batches, launch_chunks=m)
+        return per_clip, xmls
+
     def predict_files_resident(self, paths: Sequence[str], reader,
                                names: Optional[List[str]] = None,
                                upload_threads: int = 4,
                                telemetry: Optional[dict] = None,
-                               max_pass_clips: Optional[int] = None
+                               max_pass_clips: Optional[int] = None,
+                               launch_chunks: int = 1
                                ) -> Tuple[List[List[dict]], List[str]]:
         """File-list variant of ``predict_clips_resident`` that PIPELINES
         file decode with the uploads: each upload thread reads its slice
@@ -960,6 +1116,11 @@ class SedInferenceEngine:
         many clips (full-size passes reuse ONE compiled program; only a
         smaller final remainder compiles a second).  Results are
         identical to a single pass; telemetry accumulates across passes.
+
+        ``launch_chunks=m > 1`` (see ``predict_clips_resident``): each
+        chunk thread reads its files, uploads, and dispatches its own
+        single-chunk program — file decode, transfer, device compute,
+        and host event decode all pipeline.  Exact — same events.
         """
         assert self.mesh is None, (
             'predict_files_resident is single-device; use predict_clips '
@@ -981,7 +1142,8 @@ class SedInferenceEngine:
                 tel = {} if telemetry is not None else None
                 ev, xs = self.predict_files_resident(
                     paths[lo:hi], reader, names=names[lo:hi],
-                    upload_threads=upload_threads, telemetry=tel)
+                    upload_threads=upload_threads, telemetry=tel,
+                    launch_chunks=launch_chunks)
                 all_events.extend(ev)
                 all_xmls.extend(xs)
                 if tel is not None:
@@ -994,6 +1156,19 @@ class SedInferenceEngine:
         first = reader(paths[0])
         width = first.shape[0]
         bs = self.batch_size
+        if launch_chunks > 1:
+            def get_rows(lo, hi):
+                buf = np.zeros((hi - lo, width), first.dtype)
+                for j in range(lo, min(hi, n)):
+                    buf[j - lo] = first if j == 0 else reader(paths[j])
+                return buf
+
+            out = self._resident_chunked_core(
+                get_rows, n, width, first.dtype, names, launch_chunks,
+                telemetry)
+            if telemetry is not None:
+                telemetry.setdefault('read_s', 0.0)   # reads pipelined
+            return out
         n_batches = -(-n // bs)
         rows = n_batches * bs
         k = max(1, min(int(upload_threads), n))

@@ -343,6 +343,57 @@ def test_resident_matches_bulk(engine):
     assert got_q6 == want_q6
 
 
+def test_resident_chunked_launches_match_single(engine):
+    """launch_chunks=m splits the resident pass into m concurrently
+    dispatched upload+launch+pull chunks (upload/compute overlap on
+    fast links) — must stay exactly equal to the single-launch pass for
+    ragged clip counts, m > n_batches (clamped), both pull formats,
+    forced topk saturation, and q6 wires."""
+    rng = np.random.RandomState(62)
+    wavs = rng.uniform(-0.3, 0.3,
+                       (19, AUDIO_16K.sample_rate * 5)).astype(np.float32)
+    names = [f'c{i}.wav' for i in range(19)]
+    want = engine.predict_clips_resident(wavs, names=names)
+    for m in (2, 3, 7):                     # 7 > n_batches=3 -> clamped
+        telemetry = {}
+        got = engine.predict_clips_resident(wavs, names=names,
+                                            launch_chunks=m,
+                                            telemetry=telemetry)
+        assert got == want, f'launch_chunks={m}'
+        eff = min(m, 3)
+        assert telemetry['launch_chunks'] == eff
+        assert telemetry['rpcs'] == 3 * eff
+        assert telemetry['bytes_h2d'] == 24 * wavs.shape[1] * 4
+        assert telemetry['n_batches'] == 3
+
+    # equal chunks share ONE compiled program; the 2-chunk split of 3
+    # batches needs two (2-batch + 1-batch)
+    eng = SedInferenceEngine(engine.model, engine.variables, AUDIO_16K,
+                             sample_duration=5, overlap=True,
+                             batch_size=8, pull_format='topk')
+    eng.warmup_resident(19, wavs.shape[1], wavs.dtype, launch_chunks=3)
+    n_cached = len(eng._resident_cache)
+    assert n_cached == 1                    # 3 equal 1-batch chunks
+    got = eng.predict_clips_resident(wavs, names=names, launch_chunks=3)
+    assert got == want
+    assert len(eng._resident_cache) == n_cached
+
+    # forced saturation in a chunk -> that chunk's on-device fallback
+    eng2 = SedInferenceEngine(engine.model, engine.variables, AUDIO_16K,
+                              sample_duration=5, overlap=True,
+                              batch_size=8, pull_format='topk')
+    eng2._topk_capacity_resident = lambda n: 1
+    got2 = eng2.predict_clips_resident(wavs, names=names, launch_chunks=2)
+    assert got2 == want
+
+    # q6 wire through the chunked path
+    q6 = audio_io.qn_encode(wavs, 6)
+    want_q6 = engine.predict_clips_resident(q6, names=names)
+    got_q6 = engine.predict_clips_resident(q6, names=names,
+                                           launch_chunks=2)
+    assert got_q6 == want_q6
+
+
 def test_files_resident_matches_clips_resident(engine, tmp_path):
     """predict_files_resident (file decode pipelined into the upload
     threads) must equal predict_clips_resident on the same wire bytes,
@@ -373,11 +424,21 @@ def test_files_resident_matches_clips_resident(engine, tmp_path):
     got = eng.predict_files_resident(paths, reader, names=names)
     assert got == want
 
+    # chunked launches: per-chunk read->upload->launch->pull pipeline
+    tel = {}
+    got = engine.predict_files_resident(paths, reader, names=names,
+                                        launch_chunks=2, telemetry=tel)
+    assert got == want
+    assert tel['launch_chunks'] == 2 and tel['rpcs'] == 6
+
     # a reader exception must propagate, not hang the threads
     def bad_reader(p):
         raise RuntimeError('decode failed')
     with pytest.raises(RuntimeError, match='decode failed'):
         engine.predict_files_resident(paths, bad_reader, names=names)
+    with pytest.raises(RuntimeError, match='decode failed'):
+        engine.predict_files_resident(paths, bad_reader, names=names,
+                                      launch_chunks=2)
 
 
 def test_files_resident_chunked_passes_match_single(engine, tmp_path):
