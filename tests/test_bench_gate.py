@@ -93,7 +93,9 @@ def test_slow_probes_skip_then_fast_probe_draws(bench, monkeypatch):
     assert min(times) < 2.0              # ~1.5 s fast draw recorded
     assert max(times) > 12.0             # slow draws recorded too
     assert any('gate probe' in m for m in msgs)
-    assert any('wall budget' in m for m in msgs)
+    # the fast draw pushes best clips/s past BENCH_TARGET, so the hunt
+    # ends through the decisive-win exit rather than the wall budget
+    assert any('target' in m for m in msgs)
 
 
 def test_reality_check_forces_draw_during_slow_phase(bench, monkeypatch):
@@ -126,3 +128,87 @@ def test_draw_time_budget_caps_spend(bench, monkeypatch):
         None, None, None, None, lambda m: None)
     # ~13.5 s/draw: 2 unconditional, then the gate stops at >= 30 s
     assert len(times) == 3
+
+
+def _stub_sized(bench, monkeypatch, seq8, seq32, pass_bws,
+                max_repeats=8, reality_s=1e9):
+    """Size-aware probe scripting for the ramp-escalation gate: probes
+    pop from per-size queues (last element repeats); pass durations
+    follow the scripted pass_bws sequence, not the probe reading."""
+    state = {'q': {8: list(seq8), 32: list(seq32)},
+             'passes': [], 't': 1000.0, 'probe_calls': []}
+
+    def fake_now():
+        state['t'] += 1e-4
+        return state['t']
+
+    def fake_sleep(s):
+        state['t'] += s
+
+    def fake_probe(mb=8):
+        q = state['q'][mb]
+        bw = q.pop(0) if len(q) > 1 else q[0]
+        state['probe_calls'].append((mb, bw))
+        return bw
+
+    def fake_pass(engine, paths, read, names, tel=None):
+        if tel is not None:
+            tel.update(bytes_h2d=250_000_000)
+        i = len(state['passes'])
+        bw = pass_bws[min(i, len(pass_bws) - 1)]
+        state['passes'].append(bw)
+        state['t'] += 250.0 / bw + 1.0
+        return {'clip': []}, []
+
+    monkeypatch.setattr(bench, '_now', fake_now)
+    monkeypatch.setattr(bench, '_sleep', fake_sleep)
+    monkeypatch.setattr(bench, 'measure_raw_link_mb_s', fake_probe)
+    monkeypatch.setattr(bench, 'run_pass', fake_pass)
+    monkeypatch.setattr(bench, 'MAX_REPEATS', max_repeats)
+    monkeypatch.setattr(bench, 'REALITY_CHECK_S', reality_s)
+    return state
+
+
+def test_ramp_escalation_rescues_a_ramping_phase(bench, monkeypatch):
+    # Two unconditional draws at 100 MB/s set best ~3.5 s.  Then the
+    # 8 MB probe reads 46 MB/s — the 19 Aug ramp-onset signature.  On
+    # the 8 MB reading alone est = 250/46 + 1.2 = 6.6 s >= 3.43 and the
+    # gate would SKIP the phase; the escalated 32 MB probe sees the
+    # ramp (450 MB/s), est = 1.76 s, and the draw is spent.
+    state = _stub_sized(bench, monkeypatch,
+                        seq8=[46.0], seq32=[450.0],
+                        pass_bws=[100.0, 100.0, 450.0], max_repeats=3)
+    times, _, _ = bench.gated_headline_draws(
+        None, None, None, None, lambda m: None)
+    assert len(times) == 3
+    assert min(times) < 2.0                     # the fast draw landed
+    assert (32, 450.0) in state['probe_calls']  # escalation happened
+
+
+def test_no_escalation_below_threshold(bench, monkeypatch):
+    # flat slow phase: 8 MB probes read 36 MB/s (< the 42 MB/s ramp
+    # threshold) — the gate must never pay for a 32 MB probe
+    state = _stub_sized(bench, monkeypatch,
+                        seq8=[36.0], seq32=[9999.0],
+                        pass_bws=[36.0], max_repeats=8)
+    monkeypatch.setattr(bench, 'WALL_BUDGET', 120.0)
+    times, _, _ = bench.gated_headline_draws(
+        None, None, None, None, lambda m: None)
+    assert all(mb == 8 for mb, _ in state['probe_calls'])
+    assert len(times) == 2                      # gate skipped the rest
+
+
+def test_target_hit_stops_draws_early(bench, monkeypatch):
+    # draws keep improving through a burst; once best clips/s passes
+    # BENCH_TARGET with >= 3 draws recorded, the hunt stops without
+    # spending the remaining repeats
+    state = _stub_sized(bench, monkeypatch,
+                        seq8=[1000.0], seq32=[1000.0],
+                        pass_bws=[300.0, 400.0, 600.0, 600.0],
+                        max_repeats=8)
+    monkeypatch.setattr(bench, 'TARGET_CLIPS_S', 1100.0)
+    msgs = []
+    times, _, _ = bench.gated_headline_draws(
+        None, None, None, None, msgs.append)
+    assert len(times) == 3
+    assert any('target' in m for m in msgs)
