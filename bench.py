@@ -232,6 +232,45 @@ def encode_wire(clips, wire):
 
 _probe_bufs: dict = {}
 
+# hard cap on the official headline line: the driver parses it from a
+# bounded tail window, so an over-long line records as NO number at all
+# (round 3's BENCH_r03.json: parsed null)
+HEADLINE_MAX_BYTES = 2048
+
+
+def compact_telemetry(tel):
+    """Bound the headline telemetry to scalars + tiny lists.
+
+    Unbounded arrays (e.g. a probe-phase history) must never ride the
+    headline JSON line; they belong on stderr.  Keeps numbers, bools,
+    short strings, and lists of <= 4 scalars."""
+    out = {}
+    for k, v in (tel or {}).items():
+        if isinstance(v, (int, float, bool)) or v is None:
+            out[k] = v
+        elif isinstance(v, str) and len(v) <= 64:
+            out[k] = v
+        elif (isinstance(v, (list, tuple)) and len(v) <= 4
+              and all(isinstance(x, (int, float, bool)) for x in v)):
+            out[k] = list(v)
+    return out
+
+
+def emit_headline(result):
+    """Print the ONE official JSON line, enforcing the size cap.
+
+    If the line would exceed HEADLINE_MAX_BYTES, progressively drop the
+    bulkiest optional fields (telemetry, then wires) rather than emit a
+    line the driver cannot parse."""
+    line = json.dumps(result)
+    for drop in ('telemetry', 'wires'):
+        if len(line) <= HEADLINE_MAX_BYTES:
+            break
+        result = {k: v for k, v in result.items() if k != drop}
+        line = json.dumps(result)
+    print(line)
+    return line
+
 
 def measure_raw_link_mb_s(mb=32):
     """One raw multi-threaded device_put of `mb` MB — the link-phase
@@ -271,12 +310,14 @@ def gated_headline_draws(engine, paths, read, names, stage):
     decode) is learned as the median residual of probed draws.  The
     first two draws are unconditional; after that a full pass is spent
     only when the prediction beats the best draw so far, except for a
-    reality-check draw when the gate has skipped for 60 s.  Every probe
-    reading is appended to each tel dict's ``gate_probes_mb_s`` so the
-    official JSON shows which link phases the gate saw and skipped.
-    Returns (times, tels, events)."""
+    reality-check draw when the gate has skipped for ``REALITY_CHECK_S``
+    seconds.  The probe-phase history is returned SEPARATELY (size-
+    tagged ``(size_mb, bw)`` pairs) and goes to stderr only — round 3's
+    official record was unparseable because hundreds of probe floats
+    were inlined into the headline telemetry.
+    Returns (times, tels, events, probes)."""
     times, tels = [], []
-    probes = []
+    probes = []        # (probe_size_mb, mb_s) pairs — stderr-only
     events = None
     spent = 0.0
     t_phase = _now()
@@ -287,6 +328,7 @@ def gated_headline_draws(engine, paths, read, names, stage):
     while len(times) < MAX_REPEATS:
         i = len(times)
         probe_bw = None
+        escalated = False
         if i >= 1 and spent >= hard_cap_s:
             stage(f'dead-phase bail after {i} draws '
                   f'({spent:.0f}s draw time)')
@@ -300,14 +342,15 @@ def gated_headline_draws(engine, paths, read, names, stage):
             break
         if i >= 2:
             probe_bw = measure_raw_link_mb_s(PROBE_MB)
-            probes.append(round(probe_bw, 1))
+            probes.append((PROBE_MB, round(probe_bw, 1)))
             if probe_bw >= RAMP_ESCALATE_MB_S:
                 # ramp-aware escalation: a promising small probe may be
                 # the onset of a size-ramping fast phase worth 5-25x
                 # more to the 250 MB pass — re-probe at a size that
                 # sees the ramp (never escalates in dead/slow phases)
                 probe_bw = measure_raw_link_mb_s(RAMP_PROBE_MB)
-                probes.append(round(probe_bw, 1))
+                probes.append((RAMP_PROBE_MB, round(probe_bw, 1)))
+                escalated = True
             fixed = float(np.median(fixed_obs)) if fixed_obs else 1.2
             # probe_bw is MiB/s (the probe buffer is mb x 2^20 bytes);
             # divide bytes by 2^20, not 1e6 — a decimal-MB mixup is a
@@ -329,7 +372,11 @@ def gated_headline_draws(engine, paths, read, names, stage):
         bytes_h2d = tel.get('bytes_h2d', bytes_h2d)
         if probe_bw is not None:
             stage(f'draw {i}: {dt:.2f}s (gate probe {probe_bw:.0f} MB/s)')
-            if bytes_h2d:
+            if bytes_h2d and not escalated:
+                # escalated draws ride the full 250 MB size-ramp (often
+                # much faster than the 32 MB probe reading), which would
+                # inflate the learned fixed overhead — learn only from
+                # flat-phase probes, whose reading matches the pass bw
                 fixed_obs.append(
                     max(0.1, dt - bytes_h2d / (probe_bw * 2**20)))
         if (len(times) >= MIN_DRAWS_AT_TARGET
@@ -338,9 +385,7 @@ def gated_headline_draws(engine, paths, read, names, stage):
             stage(f'target {TARGET_CLIPS_S:.0f} clips/s hit '
                   f'({N_CLIPS / min(times):.0f}); stopping draws')
             break
-    for t in tels:
-        t['gate_probes_mb_s'] = probes   # full phase history, every tel
-    return times, tels, events
+    return times, tels, events, probes
 
 
 def run_pass(engine, paths, read, names, telemetry=None):
@@ -477,11 +522,21 @@ def main():
         # draw lands minutes earlier when the link is slow.
         if MODE == 'resident' and w == WIRE and warm_thread is not None:
             sample = read(paths[0])
-            assert sample.shape[0] == zero_row.shape[1], \
-                'overlapped warm used a different row width'
             warm_thread.join()
             if warm_errs:
                 raise warm_errs[0]
+            if (sample.shape[0] != zero_row.shape[1]
+                    or sample.dtype != zero_row.dtype):
+                # the overlapped warm compiled the wrong resident
+                # program (width or dtype mismatch between encode_wire
+                # and the wire reader) — re-warm synchronously with the
+                # real sample instead of letting the compile land inside
+                # the first timed draw
+                stage(f'overlapped warm mismatch '
+                      f'({zero_row.shape[1]}/{zero_row.dtype} vs '
+                      f'{sample.shape[0]}/{sample.dtype}); re-warming')
+                engine.warmup_resident(N_CLIPS, sample.shape[0],
+                                       sample.dtype, THREADS)
         elif MODE == 'resident':
             sample = read(paths[0])
             engine.warmup_resident(N_CLIPS, sample.shape[0],
@@ -496,8 +551,12 @@ def main():
             raw_before = measure_raw_link_mb_s()
             stage(f'raw link probe: {raw_before:.0f} MB/s')
         if w == WIRE and MODE == 'resident':
-            times, tels, events = gated_headline_draws(
+            times, tels, events, gate_probes = gated_headline_draws(
                 engine, paths, read, names, stage)
+            # full phase history goes to stderr ONLY: inlining it into
+            # the headline telemetry made round 3's official record
+            # unparseable (driver tail window lost the line start)
+            stage(f'gate probe history (size_mb, MB/s): {gate_probes}')
         else:
             reps = REPEATS if w == WIRE else SECONDARY_REPEATS
             cap = MAX_REPEATS if w == WIRE else max(1, reps)
@@ -555,9 +614,9 @@ def main():
         'unit': 'clips/s',
         'vs_baseline': round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 2),
         'wires': {w: r['clips_per_sec'] for w, r in readings.items()},
-        'telemetry': best_tel,
+        'telemetry': compact_telemetry(best_tel),
     }
-    print(json.dumps(result))
+    emit_headline(result)
     print(f'# {N_CLIPS} clips in {elapsed:.2f}s, {n_events} events, '
           f'mode={MODE}, threads={THREADS}, wire={WIRE}, bf16={BF16}, '
           f'group={GROUP}, pull={PULL}, trained_ckpt={trained}; '

@@ -70,7 +70,7 @@ def _stub(bench, monkeypatch, probe_bws, max_repeats=6, reality_s=1e9):
 
 def test_first_two_draws_unconditional_no_probe(bench, monkeypatch):
     state = _stub(bench, monkeypatch, [20.0], max_repeats=2)
-    times, tels, events = bench.gated_headline_draws(
+    times, tels, events, probes = bench.gated_headline_draws(
         None, None, None, None, lambda m: None)
     assert len(times) == 2
     assert state['probes'] == 0          # gate never consulted
@@ -86,7 +86,7 @@ def test_slow_probes_skip_then_fast_probe_draws(bench, monkeypatch):
                   [20.0, 20.0, 20.0, 500.0], max_repeats=8)
     monkeypatch.setattr(bench, 'WALL_BUDGET', 60.0)
     msgs = []
-    times, tels, events = bench.gated_headline_draws(
+    times, tels, events, probes = bench.gated_headline_draws(
         None, None, None, None, msgs.append)
     assert state['passes'][:2] == [20.0, 20.0]
     assert 500.0 in state['passes']      # the fast window was spent on
@@ -103,7 +103,7 @@ def test_reality_check_forces_draw_during_slow_phase(bench, monkeypatch):
     # reality-check window at 0 every probe forces a draw anyway
     state = _stub(bench, monkeypatch, [20.0], max_repeats=4,
                   reality_s=0.0)
-    times, _, _ = bench.gated_headline_draws(
+    times, _, _, _ = bench.gated_headline_draws(
         None, None, None, None, lambda m: None)
     assert len(times) == 4
 
@@ -114,7 +114,7 @@ def test_dead_phase_first_draw_not_ratified(bench, monkeypatch):
     state = _stub(bench, monkeypatch, [0.6], max_repeats=8)
     monkeypatch.setattr(bench, 'WALL_BUDGET', 360.0)
     msgs = []
-    times, _, _ = bench.gated_headline_draws(
+    times, _, _, _ = bench.gated_headline_draws(
         None, None, None, None, msgs.append)
     assert len(times) == 1
     assert any('wall budget' in m for m in msgs)
@@ -124,7 +124,7 @@ def test_draw_time_budget_caps_spend(bench, monkeypatch):
     state = _stub(bench, monkeypatch, [20.0], max_repeats=24,
                   reality_s=0.0)
     monkeypatch.setattr(bench, 'TIME_BUDGET', 30.0)
-    times, _, _ = bench.gated_headline_draws(
+    times, _, _, _ = bench.gated_headline_draws(
         None, None, None, None, lambda m: None)
     # ~13.5 s/draw: 2 unconditional, then the gate stops at >= 30 s
     assert len(times) == 3
@@ -178,7 +178,7 @@ def test_ramp_escalation_rescues_a_ramping_phase(bench, monkeypatch):
     state = _stub_sized(bench, monkeypatch,
                         seq8=[46.0], seq32=[450.0],
                         pass_bws=[100.0, 100.0, 450.0], max_repeats=3)
-    times, _, _ = bench.gated_headline_draws(
+    times, _, _, _ = bench.gated_headline_draws(
         None, None, None, None, lambda m: None)
     assert len(times) == 3
     assert min(times) < 2.0                     # the fast draw landed
@@ -192,7 +192,7 @@ def test_no_escalation_below_threshold(bench, monkeypatch):
                         seq8=[36.0], seq32=[9999.0],
                         pass_bws=[36.0], max_repeats=8)
     monkeypatch.setattr(bench, 'WALL_BUDGET', 120.0)
-    times, _, _ = bench.gated_headline_draws(
+    times, _, _, _ = bench.gated_headline_draws(
         None, None, None, None, lambda m: None)
     assert all(mb == 8 for mb, _ in state['probe_calls'])
     assert len(times) == 2                      # gate skipped the rest
@@ -208,7 +208,67 @@ def test_target_hit_stops_draws_early(bench, monkeypatch):
                         max_repeats=8)
     monkeypatch.setattr(bench, 'TARGET_CLIPS_S', 1100.0)
     msgs = []
-    times, _, _ = bench.gated_headline_draws(
+    times, _, _, _ = bench.gated_headline_draws(
         None, None, None, None, msgs.append)
     assert len(times) == 3
     assert any('target' in m for m in msgs)
+
+
+def test_no_unbounded_arrays_in_draw_telemetry(bench, monkeypatch):
+    # round-3 regression: probe history must never ride the per-draw
+    # telemetry dicts (it made the official headline line unparseable)
+    state = _stub(bench, monkeypatch, [20.0, 20.0, 500.0], max_repeats=4)
+    times, tels, events, probes = bench.gated_headline_draws(
+        None, None, None, None, lambda m: None)
+    for t in tels:
+        assert 'gate_probes_mb_s' not in t
+        for v in t.values():
+            assert not (isinstance(v, (list, tuple)) and len(v) > 4)
+    # the history IS returned, size-tagged, for stderr reporting
+    assert all(isinstance(pr, tuple) and len(pr) == 2 for pr in probes)
+
+
+def test_compact_telemetry_drops_unbounded_fields(bench):
+    tel = {
+        'upload_s': 1.23, 'rpcs': 6, 'ok': True, 'wire': 'q6',
+        'raw_link_mb_s': [22.0, 450.0],
+        'gate_probes_mb_s': list(range(500)),          # unbounded
+        'huge_str': 'x' * 5000,                        # unbounded
+        'nested': {'a': 1},                            # non-scalar
+    }
+    out = bench.compact_telemetry(tel)
+    assert out['upload_s'] == 1.23 and out['rpcs'] == 6
+    assert out['ok'] is True and out['wire'] == 'q6'
+    assert out['raw_link_mb_s'] == [22.0, 450.0]
+    assert 'gate_probes_mb_s' not in out
+    assert 'huge_str' not in out and 'nested' not in out
+    assert bench.compact_telemetry(None) == {}
+
+
+def test_emit_headline_round_trips_and_stays_small(bench, capsys):
+    import json
+    result = {'metric': 'm', 'value': 1234.5, 'unit': 'clips/s',
+              'vs_baseline': 58.8,
+              'wires': {'q6': 1234.5, 'adpcm4': 1100.0},
+              'telemetry': {'upload_s': 3.2, 'rpcs': 6}}
+    bench.emit_headline(dict(result))
+    line = capsys.readouterr().out.strip()
+    assert len(line) <= bench.HEADLINE_MAX_BYTES
+    parsed = json.loads(line)
+    assert parsed['value'] == 1234.5 and parsed['unit'] == 'clips/s'
+    assert 'telemetry' in parsed and 'wires' in parsed
+
+
+def test_emit_headline_sheds_bulk_to_stay_parseable(bench, capsys):
+    import json
+    # a pathologically bloated telemetry must be shed, never emitted
+    result = {'metric': 'm', 'value': 1234.5, 'unit': 'clips/s',
+              'vs_baseline': 58.8,
+              'wires': {'q6': 1234.5},
+              'telemetry': {'bloat': 'x' * 10000}}
+    bench.emit_headline(dict(result))
+    line = capsys.readouterr().out.strip()
+    assert len(line) <= bench.HEADLINE_MAX_BYTES
+    parsed = json.loads(line)
+    assert parsed['value'] == 1234.5
+    assert 'telemetry' not in parsed       # shed, value intact
