@@ -302,3 +302,34 @@ def test_adpcm_serving_events_match_int16_trained():
     assert len(a) > 0                     # trained model finds events
     assert len(b) >= 0.5 * len(a), (a, b)
     assert matched(a, b) + matched(b, a) >= 0.55 * total, (a, b)
+
+
+def test_adpcm_associative_decode_matches_scan_decode_fuzz():
+    """The associative-scan decode (log-depth clamp-add prefixes) must
+    be bit-exact to the sequential lax.scan formulation AND the host
+    decoder on arbitrary bitstreams — including saturating extremes the
+    clamp-composition closure must handle exactly."""
+    import jax.numpy as jnp
+    from sed_tpu.data import audio_io
+    from sed_tpu.ops import wire
+
+    rng = np.random.RandomState(7)
+    sr, sec = 16000, 5
+    samples = sr * sec
+    # random bitstreams: arbitrary nibbles, arbitrary block headers
+    fuzz = rng.randint(0, 256,
+                       (8, audio_io.adpcm_bytes(samples))).astype(np.uint8)
+    # full-scale square waves: every step saturates the predictor clamp
+    t = np.arange(samples) / sr
+    sq = np.stack([np.sign(np.sin(2 * np.pi * 123.7 * t)),
+                   -np.sign(np.sin(2 * np.pi * 55.1 * t)),
+                   np.ones(samples),
+                   np.where(t < 2.5, 1.0, -1.0)]).astype(np.float32)
+    enc = audio_io.adpcm_encode(sq)
+    for buf in (fuzz, enc):
+        host = audio_io.adpcm_decode_np(buf, samples)
+        assoc = np.asarray(wire._adpcm_decode(jnp.asarray(buf), samples))
+        scan = np.asarray(wire._adpcm_decode_scan(jnp.asarray(buf),
+                                                  samples))
+        np.testing.assert_array_equal(assoc, host)
+        np.testing.assert_array_equal(scan, host)

@@ -25,6 +25,10 @@ every iteration:
 Usage:
   python tools/bench_device_time.py forward [batch] [n] [model_type]
   python tools/bench_device_time.py train   [batch] [n] [model_type]
+  python tools/bench_device_time.py decode  [batch] [n] [wire]
+    wire in {adpcm4, adpcm4_scan, q6, q5, q4, mulaw8, int16}: chained
+    device dequant of a (batch, wire_width) buffer — the A/B for the
+    associative-scan vs sequential-scan ADPCM decode lives here.
 
 NB: this targets the real chip (remote compiler + persistent cache).
 On the 1-vCPU host, XLA-compiling the N-iteration fwd+bwd loop takes
@@ -78,6 +82,58 @@ def main():
     cfg = AUDIO_16K
     sr = cfg.sample_rate
     rng = np.random.RandomState(0)
+
+    if mode == 'decode':
+        from sed_tpu.data import audio_io
+        from sed_tpu.ops import wire as wire_ops
+        wire = sys.argv[4] if len(sys.argv) > 4 else 'adpcm4'
+        samples = sr * 5
+        clips = (rng.rand(batch, samples).astype(np.float32) - 0.5)
+        if wire.startswith('adpcm4'):
+            # adpcm4 | adpcm4_assoc | adpcm4_scan | adpcm4_scanK
+            # (K = unroll factor, e.g. adpcm4_scan42)
+            buf = audio_io.adpcm_encode(clips)
+            if '_scan' in wire:
+                k = int(wire.split('_scan')[1] or '1')
+                decode = lambda w: wire_ops._adpcm_decode_scan(  # noqa
+                    w, samples, unroll=k)
+            elif wire.endswith('_assoc'):
+                decode = lambda w: wire_ops._adpcm_decode_assoc(  # noqa
+                    w, samples)
+            else:
+                decode = lambda w: wire_ops._adpcm_decode(    # noqa
+                    w, samples)
+        else:
+            if wire.startswith('q'):
+                buf = audio_io.qn_encode(clips, int(wire[1]))
+            elif wire == 'mulaw8':
+                buf = audio_io.mulaw_encode(clips)
+            else:
+                buf = (np.clip(clips, -1, 1) * 32767).astype(np.int16)
+            decode = lambda w: wire_ops.dequant_wire(      # noqa: E731
+                w, samples)
+
+        def chained(w, k):
+            def body(i, carry):
+                out = decode(carry)
+                # data dependency XLA cannot elide: adds a runtime zero
+                # derived from the decoded samples to the wire bytes
+                bump = (out[0, 0] * jnp.float32(1e-30)).astype(w.dtype)
+                return carry + bump
+            final = lax.fori_loop(0, k, body, w)
+            return decode(final).sum()
+
+        f1 = jax.jit(lambda w: chained(w, 1))
+        fn = jax.jit(lambda w: chained(w, n))
+        args = (jax.device_put(buf),)
+        t1, _ = _timed_call(f1, args, 1)
+        tn, _ = _timed_call(fn, args, n)
+        per_iter = (tn - t1) / (n - 1)
+        print(f'decode {wire}: {per_iter * 1e3:.3f} ms/iter '
+              f'({batch} clips/iter -> {batch / per_iter:.0f} clips/s '
+              f'decode-only)')
+        print(f'  raw: t(1)={t1 * 1e3:.1f} ms, t({n})={tn * 1e3:.1f} ms')
+        return
 
     want = os.environ.get('BENCH_DTYPES', 'f32,bf16').split(',')
     for tag, compute_dtype in (('f32', None), ('bf16', jnp.bfloat16)):
