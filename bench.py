@@ -21,14 +21,30 @@ starts as soon after launch as possible) and reported alongside in the
 `wires` field.
 
 Configuration (env vars):
-  BENCH_WIRE=q6|q5|q4|adpcm4|mulaw8|int16  headline wire (default q6)
+  BENCH_WIRE=auto|q6|q5|q4|adpcm4|mulaw8|int16
+                            headline wire.  Default `auto`: the gate
+                            probes the link before each draw and picks
+                            the wire whose predicted pass time
+                            (bytes/bw + learned per-wire fixed
+                            overhead) wins THIS phase — exact-parity
+                            q6 at fast phases, narrower q5/adpcm4 at
+                            slow phases where bytes dominate.  The
+                            headline names the wire that actually won.
+  BENCH_AUTO_WIRES          auto-mode candidates, primary first
+                            (default q6,q5,adpcm4)
+  BENCH_AUTO_MARGIN         a narrower lossier wire must be predicted
+                            at least this ratio faster than the
+                            primary to displace it (default 0.92)
   BENCH_MODE=resident|stream  resident (default): minimum-RPC bulk path;
                             stream: the r02 thread-pipelined path
   BENCH_THREADS             concurrent device_put upload chunks for the
                             resident path (default 2)
-  BENCH_BF16=1|0            bfloat16 conv stack (default 0: measured
-                            device-equal to f32 on this chip,
-                            BENCHMARKS.md)
+  BENCH_BF16=1|0            bfloat16 conv stack (default 1: measured
+                            1.29x the f32 forward on this chip with
+                            event parity pinned, BENCHMARKS.md; a
+                            chained-forward guard falls back to f32
+                            when the tunnel's sporadic bf16 executable
+                            degradation is detected in this process)
   BENCH_BATCH/BENCH_GROUP/BENCH_PULL  device-batch 512; pull default
                             topk (~136 B/clip off-device vs full's
                             3.2 KB/clip — measured 1.44x e2e at N=4096,
@@ -106,6 +122,8 @@ import time
 
 import numpy as np
 
+from sed_tpu.serve.engine import LinkCollapseError
+
 N_CLIPS = int(os.environ.get('BENCH_CLIPS', '4096'))
 BATCH = int(os.environ.get('BENCH_BATCH', '512'))
 GROUP = int(os.environ.get('BENCH_GROUP', '2'))
@@ -134,8 +152,36 @@ _now = time.time
 _sleep = time.sleep
 SECONDARY = os.environ.get('BENCH_SECONDARY', '1') == '1'
 SECONDARY_REPEATS = int(os.environ.get('BENCH_SECONDARY_REPEATS', '2'))
-WIRE = os.environ.get('BENCH_WIRE', 'q6')
-BF16 = os.environ.get('BENCH_BF16', '0') == '1'
+# BENCH_WIRE=auto (default): phase-adaptive wire selection — the gate
+# probes the link before each draw and picks the wire whose predicted
+# pass time (bytes/bw + learned fixed overhead) wins THIS phase: the
+# exact-parity q6 container at fast phases, narrower q5/adpcm4 where
+# bytes dominate (slow phases).  A named wire pins the headline to it.
+WIRE = os.environ.get('BENCH_WIRE', 'auto')
+AUTO_WIRES = os.environ.get('BENCH_AUTO_WIRES', 'q6,q5,adpcm4').split(',')
+PRIMARY_WIRE = AUTO_WIRES[0] if WIRE == 'auto' else WIRE
+# a narrower (lossier) wire must be predicted at least this much faster
+# (ratio) than the primary to displace it — quality tie-break
+AUTO_MARGIN = float(os.environ.get('BENCH_AUTO_MARGIN', '0.92'))
+# mid-pass collapse abort: a gate-approved draw's uploads get a
+# deadline of max(FACTOR x predicted upload, predicted + SLACK) s;
+# missing it raises LinkCollapseError and the gate re-hunts instead of
+# recording a dead-phase time.  0 disables.
+ABORT_FACTOR = float(os.environ.get('BENCH_ABORT_FACTOR', '3.0'))
+ABORT_SLACK_S = float(os.environ.get('BENCH_ABORT_SLACK', '4.0'))
+# bf16 conv stack: measured 1.29x the f32 forward (29.0 vs 37.6 ms per
+# 256 clips, BENCHMARKS.md round-3 device times) with event parity
+# pinned (test_serve.py bf16-vs-f32).  Default ON since round 4; the
+# tunnel's sporadic process-wide bf16 executable degradation is caught
+# by a chained-forward sanity check after warmup (see
+# bf16_degradation_guard) which falls back to f32 for the process.
+BF16 = os.environ.get('BENCH_BF16', '1') == '1'
+# healthy bf16 device time for a 256-clip forward (ms); the guard trips
+# at 3x this, scaled to the bench batch
+BF16_HEALTHY_MS_256 = float(os.environ.get('BENCH_BF16_HEALTHY_MS',
+                                           '29.0'))
+BF16_GUARD_FACTOR = float(os.environ.get('BENCH_BF16_GUARD_FACTOR',
+                                         '3.0'))
 # fallback head-bias calibration for random init (no checkpoint): restores
 # production-like event density for the host-decode stage
 HEAD_BIAS = float(os.environ.get('BENCH_HEAD_BIAS', '-0.3'))
@@ -301,30 +347,51 @@ def measure_raw_link_mb_s(mb=32):
     return mb / (time.time() - t0)
 
 
-def gated_headline_draws(engine, paths, read, names, stage):
-    """Headline draws with probe-gated scheduling (resident mode).
+def gated_headline_draws(engine, wiresets, names, stage,
+                         prepare_alternates=None):
+    """Headline draws with probe-gated scheduling and PHASE-ADAPTIVE
+    wire selection (resident mode).
 
-    The engine pass runs AT raw-link speed (BENCHMARKS.md round-3
-    probe), so a cheap raw device_put probe predicts a draw's time as
-    bytes_h2d / probed_bw + fixed, where fixed (launch sync + pull +
-    decode) is learned as the median residual of probed draws.  The
-    first two draws are unconditional; after that a full pass is spent
-    only when the prediction beats the best draw so far, except for a
-    reality-check draw when the gate has skipped for ``REALITY_CHECK_S``
-    seconds.  The probe-phase history is returned SEPARATELY (size-
-    tagged ``(size_mb, bw)`` pairs) and goes to stderr only — round 3's
+    ``wiresets`` maps wire name -> ``(paths, read, bytes_h2d)``; the
+    FIRST entry is the primary (exact-parity) wire.  The engine pass
+    runs AT raw-link speed (BENCHMARKS.md round-3 probe), so a cheap
+    raw device_put probe predicts each wire's draw time as
+    ``bytes_w / probed_bw + fixed_w``, where ``fixed_w`` (launch sync +
+    pull + decode) is learned per wire as the median residual of its
+    probed draws.  The gate then draws with the predicted-fastest wire
+    of THIS link phase — the primary at fast phases (fixed dominates;
+    quality preferred on ties via AUTO_MARGIN), a narrower wire at
+    slow phases where bytes dominate.  The first two draws are
+    unconditional on the primary; after that a full pass is spent only
+    when the prediction beats the best draw so far, except for a
+    reality-check draw when the gate has skipped for
+    ``REALITY_CHECK_S`` seconds.  ``prepare_alternates`` (optional,
+    called once, after the unconditional draws) lazily writes + warms
+    the alternate wires' corpora and returns their wiresets — the
+    primary's first timed draw must not wait behind them.
+
+    The probe-phase history is returned SEPARATELY (size-tagged
+    ``(size_mb, bw)`` pairs) and goes to stderr only — round 3's
     official record was unparseable because hundreds of probe floats
     were inlined into the headline telemetry.
-    Returns (times, tels, events, probes)."""
-    times, tels = [], []
+    Returns (times, tels, draw_wires, events, probes)."""
+    primary = next(iter(wiresets))
+    times, tels, draw_wires = [], [], []
     probes = []        # (probe_size_mb, mb_s) pairs — stderr-only
     events = None
+    best_i = None
     spent = 0.0
     t_phase = _now()
     hard_cap_s = 3 * TIME_BUDGET
-    fixed_obs = []
+    fixed_obs = {w: [] for w in wiresets}
     last_draw = _now()
-    bytes_h2d = None
+
+    def fixed_for(w):
+        if fixed_obs.get(w):
+            return float(np.median(fixed_obs[w]))
+        pooled = [x for obs in fixed_obs.values() for x in obs]
+        return float(np.median(pooled)) if pooled else 1.2
+
     while len(times) < MAX_REPEATS:
         i = len(times)
         probe_bw = None
@@ -340,7 +407,15 @@ def gated_headline_draws(engine, paths, read, names, stage):
             break
         if i >= 2 and spent >= TIME_BUDGET:
             break
+        wire = primary
+        forced_draw = False
         if i >= 2:
+            if prepare_alternates is not None:
+                new = prepare_alternates()
+                for w, ws in new.items():
+                    wiresets.setdefault(w, ws)
+                    fixed_obs.setdefault(w, [])
+                prepare_alternates = None
             probe_bw = measure_raw_link_mb_s(PROBE_MB)
             probes.append((PROBE_MB, round(probe_bw, 1)))
             if probe_bw >= RAMP_ESCALATE_MB_S:
@@ -351,50 +426,85 @@ def gated_headline_draws(engine, paths, read, names, stage):
                 probe_bw = measure_raw_link_mb_s(RAMP_PROBE_MB)
                 probes.append((RAMP_PROBE_MB, round(probe_bw, 1)))
                 escalated = True
-            fixed = float(np.median(fixed_obs)) if fixed_obs else 1.2
             # probe_bw is MiB/s (the probe buffer is mb x 2^20 bytes);
             # divide bytes by 2^20, not 1e6 — a decimal-MB mixup is a
             # ~4.9% systematic bias, bigger than the 2% draw margin
-            est = bytes_h2d / (max(probe_bw, 1e-3) * 2**20) + fixed
-            if (est >= min(times) * 0.98
-                    and _now() - last_draw < REALITY_CHECK_S):
-                _sleep(GATE_SLEEP_S)
-                continue
-        tel = {}
+            bw_bytes = max(probe_bw, 1e-3) * 2**20
+            est = {w: wiresets[w][2] / bw_bytes + fixed_for(w)
+                   for w in wiresets}
+            # phase-adaptive wire: a narrower (lossier) wire must beat
+            # the primary's prediction by AUTO_MARGIN to displace it
+            wire = primary
+            for w in wiresets:
+                if w != primary and est[w] < est[wire] * AUTO_MARGIN:
+                    wire = w
+            if est[wire] >= min(times) * 0.98:
+                if _now() - last_draw < REALITY_CHECK_S:
+                    _sleep(GATE_SLEEP_S)
+                    continue
+                # reality-check draw: ground truth for the gate model
+                # at THIS phase — runs without an abort deadline
+                forced_draw = True
+        paths, read, bytes_w = wiresets[wire]
+        tel = {'wire': wire}
+        deadline = None
+        if probe_bw is not None and not forced_draw and ABORT_FACTOR > 0:
+            # the draw was approved on a fast-phase prediction: if the
+            # link collapses mid-pass, abandon it within a few seconds
+            # instead of dragging a dead phase to completion (the
+            # 18 Aug official run halved its headline that way)
+            est_up = bytes_w / bw_bytes
+            deadline = max(ABORT_FACTOR * est_up,
+                           est_up + ABORT_SLACK_S)
         t0 = _now()
-        ev, _ = run_pass(engine, paths, read, names, tel)
+        try:
+            ev, _ = run_pass(engine, paths, read, names, tel,
+                             upload_deadline_s=deadline)
+        except LinkCollapseError as e:
+            dt = _now() - t0
+            spent += dt
+            last_draw = _now()
+            stage(f'draw {i} [{wire}] ABORTED after {dt:.2f}s: {e}')
+            continue
         dt = _now() - t0
         last_draw = _now()
         spent += dt
         times.append(dt)
         tels.append(tel)
-        events = ev
-        bytes_h2d = tel.get('bytes_h2d', bytes_h2d)
+        draw_wires.append(wire)
+        if best_i is None or dt < times[best_i]:
+            best_i = i
+            events = ev
         if probe_bw is not None:
-            stage(f'draw {i}: {dt:.2f}s (gate probe {probe_bw:.0f} MB/s)')
-            if bytes_h2d and not escalated:
-                # escalated draws ride the full 250 MB size-ramp (often
-                # much faster than the 32 MB probe reading), which would
+            stage(f'draw {i} [{wire}]: {dt:.2f}s '
+                  f'(gate probe {probe_bw:.0f} MB/s)')
+            if not escalated:
+                # escalated draws ride the full-size ramp (often much
+                # faster than the 32 MB probe reading), which would
                 # inflate the learned fixed overhead — learn only from
                 # flat-phase probes, whose reading matches the pass bw
-                fixed_obs.append(
-                    max(0.1, dt - bytes_h2d / (probe_bw * 2**20)))
+                fixed_obs[wire].append(
+                    max(0.1, dt - bytes_w / (probe_bw * 2**20)))
         if (len(times) >= MIN_DRAWS_AT_TARGET
                 and N_CLIPS / min(times) >= TARGET_CLIPS_S):
             # decisively won: spend no more wall on ratification
             stage(f'target {TARGET_CLIPS_S:.0f} clips/s hit '
                   f'({N_CLIPS / min(times):.0f}); stopping draws')
             break
-    return times, tels, events, probes
+    return times, tels, draw_wires, events, probes
 
 
-def run_pass(engine, paths, read, names, telemetry=None):
+def run_pass(engine, paths, read, names, telemetry=None,
+             upload_deadline_s=None):
     """One timed end-to-end pass: file read -> events/XML.  Resident
-    mode pipelines the file decode into the upload threads."""
+    mode pipelines the file decode into the upload threads.
+    ``upload_deadline_s`` (resident only): abandon the pass with
+    LinkCollapseError if the uploads outlive it (mid-pass link
+    collapse)."""
     if MODE == 'resident':
         return engine.predict_files_resident(
             paths, read, names=names, upload_threads=THREADS,
-            telemetry=telemetry)
+            telemetry=telemetry, upload_deadline_s=upload_deadline_s)
 
     def batches():
         from sed_tpu.data import audio_io
@@ -445,30 +555,56 @@ def main():
 
     cfg = AUDIO_16K
     sr = cfg.sample_rate
-    model = get_model('Cnn_9layers_Gru_FrameAtt', cfg,
-                      compute_dtype=jnp.bfloat16 if BF16 else None)
-    if os.path.isfile(CKPT):
-        from sed_tpu.utils.npz_ckpt import load_variables_npz
-        variables = load_variables_npz(CKPT)
-        trained = True
-    else:
-        wav0 = np.zeros((1, sr * 5), np.float32)
-        variables = model.init({'params': jax.random.PRNGKey(0)}, wav0,
-                               train=False)
-        variables = jax.tree_util.tree_map(lambda x: x, variables)
-        variables['params']['att_block']['cla']['bias'] = (
-            variables['params']['att_block']['cla']['bias'] + HEAD_BIAS)
-        trained = False
-    engine = SedInferenceEngine(model, variables, cfg, sample_duration=5,
-                                overlap=True, sed_params=PREDICT_SED_PARAMS,
-                                batch_size=BATCH, launch_group=GROUP,
-                                pull_format=PULL)
 
     t_start = time.time()
 
     def stage(msg):
         print(f'# t+{time.time() - t_start:.0f}s: {msg}',
               file=sys.stderr, flush=True)
+
+    def build_engine(bf16):
+        model = get_model('Cnn_9layers_Gru_FrameAtt', cfg,
+                          compute_dtype=jnp.bfloat16 if bf16 else None)
+        if os.path.isfile(CKPT):
+            from sed_tpu.utils.npz_ckpt import load_variables_npz
+            variables = load_variables_npz(CKPT)
+            trained = True
+        else:
+            wav0 = np.zeros((1, sr * 5), np.float32)
+            variables = model.init({'params': jax.random.PRNGKey(0)},
+                                   wav0, train=False)
+            variables = jax.tree_util.tree_map(lambda x: x, variables)
+            variables['params']['att_block']['cla']['bias'] = (
+                variables['params']['att_block']['cla']['bias']
+                + HEAD_BIAS)
+            trained = False
+        eng = SedInferenceEngine(model, variables, cfg,
+                                 sample_duration=5, overlap=True,
+                                 sed_params=PREDICT_SED_PARAMS,
+                                 batch_size=BATCH, launch_group=GROUP,
+                                 pull_format=PULL)
+        return eng, trained
+
+    engine, trained = build_engine(BF16)
+    bf16_used = BF16
+    if BF16:
+        # degradation guard: the tunnel sporadically degrades a bf16
+        # executable for a whole process (BENCHMARKS.md "bf16
+        # caveats").  Measure TRUE device time via in-jit chaining; if
+        # it exceeds BF16_GUARD_FACTOR x the recorded healthy time,
+        # serve f32 in this process instead of risking the draws.
+        ms = engine.measure_forward_ms(iters=6)
+        limit = (BF16_GUARD_FACTOR * BF16_HEALTHY_MS_256
+                 * (BATCH / 256.0))
+        if ms > limit:
+            stage(f'bf16 DEGRADED in this process '
+                  f'({ms:.1f} ms/forward > {limit:.1f} ms limit); '
+                  f'falling back to f32')
+            engine, trained = build_engine(False)
+            bf16_used = False
+        else:
+            stage(f'bf16 healthy: {ms:.1f} ms/forward '
+                  f'(limit {limit:.1f})')
 
     # The headline wire's resident warm (tunnel-bound: remote compile /
     # program load, measured 61-316 s purely with link phase) and the
@@ -479,7 +615,8 @@ def main():
     warm_errs: list = []
     if MODE == 'resident':
         import threading
-        zero_row = encode_wire(np.zeros((1, sr * 5), np.float32), WIRE)
+        zero_row = encode_wire(np.zeros((1, sr * 5), np.float32),
+                               PRIMARY_WIRE)
 
         def _warm():
             try:
@@ -490,141 +627,197 @@ def main():
 
         warm_thread = threading.Thread(target=_warm, daemon=True)
         warm_thread.start()
-        stage(f'{WIRE} warm started (overlapped with corpus setup)')
+        stage(f'{PRIMARY_WIRE} warm started '
+              f'(overlapped with corpus setup)')
     clips = make_test_clips(N_CLIPS, sr)
     stage(f'{N_CLIPS} clips generated')
     tmpdir = tempfile.mkdtemp(prefix='sed_bench_')
     names = [f'clip{i:05d}.wav' for i in range(N_CLIPS)]
-    wires = [WIRE] + ([w for w in ('adpcm4', 'int16', 'mulaw8')
-                       if w != WIRE] if SECONDARY else [])
     files = {}
 
-    # The serving link's throughput fluctuates over time; take the best
-    # of N passes per wire.  The HEADLINE wire warms up and runs its
-    # timed passes FIRST (fewest seconds between process launch and the
-    # first timed draw — the link phase at launch is otherwise gone by
-    # the time setup for every wire finishes); the true-wav secondary
-    # wires follow back-to-back in the immediately adjacent link phase.
-    readings, best_tel, events = {}, {}, None
-    raw_before = raw_after = None
-    for w in wires:
-        # write each wire's corpus only when its turn comes — the
-        # secondary wires' ~1 GB of wav writes must not delay the
-        # headline's first timed draw past the launch-time link phase
+    def padded_bytes(sample):
+        # h2d bytes of one resident pass: clips padded to full batches
+        rows = -(-N_CLIPS // BATCH) * BATCH
+        return rows * sample.shape[0] * sample.dtype.itemsize
+
+    def build_corpus(w):
         files[w] = write_wire_files(clips, sr, w, tmpdir)
         stage(f'{w} files written')
-        paths, read = files[w]
-        # Warm up compile + caches per wire dtype/width (untimed): each
-        # wire width/dtype is a distinct resident program.  The resident
-        # warm builds its inputs ON DEVICE (engine.warmup_resident), so
-        # it compiles + executes exactly what the timed passes run
-        # without shipping the corpus through the link — the first timed
-        # draw lands minutes earlier when the link is slow.
-        if MODE == 'resident' and w == WIRE and warm_thread is not None:
-            sample = read(paths[0])
-            warm_thread.join()
-            if warm_errs:
-                raise warm_errs[0]
-            if (sample.shape[0] != zero_row.shape[1]
-                    or sample.dtype != zero_row.dtype):
-                # the overlapped warm compiled the wrong resident
-                # program (width or dtype mismatch between encode_wire
-                # and the wire reader) — re-warm synchronously with the
-                # real sample instead of letting the compile land inside
-                # the first timed draw
-                stage(f'overlapped warm mismatch '
-                      f'({zero_row.shape[1]}/{zero_row.dtype} vs '
-                      f'{sample.shape[0]}/{sample.dtype}); re-warming')
-                engine.warmup_resident(N_CLIPS, sample.shape[0],
-                                       sample.dtype, THREADS)
-        elif MODE == 'resident':
-            sample = read(paths[0])
+        return files[w]
+
+    # The serving link's throughput fluctuates over time.  The PRIMARY
+    # wire warms up and draws FIRST (fewest seconds between process
+    # launch and the first timed draw — the link phase at launch is
+    # otherwise gone by the time setup for every wire finishes); in
+    # auto mode the alternate wires' corpora are prepared lazily after
+    # the unconditional draws and the gate picks the predicted-fastest
+    # wire per link phase; the true-wav secondary wires follow
+    # back-to-back in the immediately adjacent link phase.
+    readings, best_tel, events = {}, {}, None
+    raw_before = raw_after = None
+    headline_wire = PRIMARY_WIRE
+
+    paths, read = build_corpus(PRIMARY_WIRE)
+    if MODE == 'resident':
+        sample = read(paths[0])
+        warm_thread.join()
+        if warm_errs:
+            raise warm_errs[0]
+        if (sample.shape[0] != zero_row.shape[1]
+                or sample.dtype != zero_row.dtype):
+            # the overlapped warm compiled the wrong resident program
+            # (width or dtype mismatch between encode_wire and the wire
+            # reader) — re-warm synchronously with the real sample
+            # instead of letting the compile land inside the first
+            # timed draw
+            stage(f'overlapped warm mismatch '
+                  f'({zero_row.shape[1]}/{zero_row.dtype} vs '
+                  f'{sample.shape[0]}/{sample.dtype}); re-warming')
             engine.warmup_resident(N_CLIPS, sample.shape[0],
                                    sample.dtype, THREADS)
-        else:
-            warm = encode_wire(clips[:BATCH], w)
-            engine.warmup(warm)
-            engine.predict_clips_stream(iter([warm]),
-                                        names=names[:warm.shape[0]])
-        stage(f'{w} warm')
-        if w == WIRE and MODE == 'resident':
-            raw_before = measure_raw_link_mb_s()
-            stage(f'raw link probe: {raw_before:.0f} MB/s')
-        if w == WIRE and MODE == 'resident':
-            times, tels, events, gate_probes = gated_headline_draws(
-                engine, paths, read, names, stage)
-            # full phase history goes to stderr ONLY: inlining it into
-            # the headline telemetry made round 3's official record
-            # unparseable (driver tail window lost the line start)
-            stage(f'gate probe history (size_mb, MB/s): {gate_probes}')
-        else:
-            reps = REPEATS if w == WIRE else SECONDARY_REPEATS
-            cap = MAX_REPEATS if w == WIRE else max(1, reps)
-            # hard spent-time cap: a dead link phase (warm pass measured
-            # as slow as 0.6 MB/s once) must not hold the driver for
-            # reps x minutes — bail with whatever fits in 3x the budget
-            hard_cap_s = 3 * TIME_BUDGET if w == WIRE else TIME_BUDGET
-            times, tels = [], []
+        stage(f'{PRIMARY_WIRE} warm')
+        raw_before = measure_raw_link_mb_s()
+        stage(f'raw link probe: {raw_before:.0f} MB/s')
+        wiresets = {PRIMARY_WIRE: (paths, read, padded_bytes(sample))}
+
+        def prepare_alternates():
+            # called by the gate ONCE, after the unconditional draws:
+            # write + warm the alternate wires so phase-adaptive draws
+            # can use them.  Runs during gate time on purpose — the
+            # primary's first draws must not wait behind ~1 GB of
+            # alternate-corpus writes.
+            out = {}
+            if WIRE != 'auto':
+                return out
+            for w in AUTO_WIRES[1:]:
+                p2, r2 = build_corpus(w)
+                s2 = r2(p2[0])
+                engine.warmup_resident(N_CLIPS, s2.shape[0], s2.dtype,
+                                       THREADS)
+                stage(f'{w} alternate ready (files + warm)')
+                out[w] = (p2, r2, padded_bytes(s2))
+            return out
+
+        times, tels, draw_wires, events, gate_probes = \
+            gated_headline_draws(engine, wiresets, names, stage,
+                                 prepare_alternates)
+        # full phase history goes to stderr ONLY: inlining it into
+        # the headline telemetry made round 3's official record
+        # unparseable (driver tail window lost the line start)
+        stage(f'gate probe history (size_mb, MB/s): {gate_probes}')
+        raw_after = measure_raw_link_mb_s()
+        stage(f'raw link probe: {raw_after:.0f} MB/s')
+        stage(f'headline timed x{len(times)}: '
+              f'{[round(t, 2) for t in times]} wires={draw_wires}')
+        for w in dict.fromkeys(draw_wires):
+            wt = [t for t, dw in zip(times, draw_wires) if dw == w]
+            readings[w] = {
+                'clips_per_sec': round(N_CLIPS / min(wt), 1),
+                'times_s': [round(t, 2) for t in wt],
+            }
+        best = int(np.argmin(times))
+        headline_wire = draw_wires[best]
+        elapsed = times[best]
+        best_tel = tels[best]
+        # link-phase context: the engine pass runs AT raw-link speed
+        # (BENCHMARKS.md), so these bound what any serving engine
+        # could have scored in this window
+        best_tel['raw_link_mb_s'] = [round(raw_before, 1),
+                                     round(raw_after, 1)]
+    else:
+        # stream mode: fixed-wire repeats on the primary
+        warm = encode_wire(clips[:BATCH], PRIMARY_WIRE)
+        engine.warmup(warm)
+        engine.predict_clips_stream(iter([warm]),
+                                    names=names[:warm.shape[0]])
+        stage(f'{PRIMARY_WIRE} warm')
+        times = []
+        spent = 0.0
+        for i in range(MAX_REPEATS):
+            if i >= max(1, REPEATS) and spent >= TIME_BUDGET:
+                break
+            if i >= 1 and spent >= 3 * TIME_BUDGET:
+                stage(f'dead-phase bail after {i} draws '
+                      f'({spent:.0f}s spent)')
+                break
+            t0 = time.time()
+            events, _ = run_pass(engine, paths, read, names, None)
+            dt = time.time() - t0
+            spent += dt
+            times.append(dt)
+        stage(f'{PRIMARY_WIRE} timed x{len(times)}: '
+              f'{[round(t, 2) for t in times]}')
+        readings[PRIMARY_WIRE] = {
+            'clips_per_sec': round(N_CLIPS / min(times), 1),
+            'times_s': [round(t, 2) for t in times],
+        }
+        elapsed = min(times)
+
+    # secondary true-wav wires, back-to-back in the adjacent link phase
+    if SECONDARY:
+        for w in ('adpcm4', 'int16', 'mulaw8'):
+            if w in readings:
+                continue
+            w_paths, w_read = files.get(w) or build_corpus(w)
+            if MODE == 'resident':
+                s2 = w_read(w_paths[0])
+                engine.warmup_resident(N_CLIPS, s2.shape[0], s2.dtype,
+                                       THREADS)
+            else:
+                warm = encode_wire(clips[:BATCH], w)
+                engine.warmup(warm)
+                engine.predict_clips_stream(iter([warm]),
+                                            names=names[:warm.shape[0]])
+            stage(f'{w} warm')
+            w_times = []
             spent = 0.0
-            for i in range(cap):
-                if i >= max(1, reps) and spent >= TIME_BUDGET:
-                    break
-                if i >= 1 and spent >= hard_cap_s:
+            for i in range(max(1, SECONDARY_REPEATS)):
+                # hard spent-time cap: a dead link phase (warm pass
+                # measured as slow as 0.6 MB/s once) must not hold the
+                # driver for reps x minutes
+                if i >= 1 and spent >= TIME_BUDGET:
                     stage(f'{w}: dead-phase bail after {i} draws '
                           f'({spent:.0f}s spent)')
                     break
                 tel = {} if MODE == 'resident' else None
                 t0 = time.time()
-                ev, xmls = run_pass(engine, paths, read, names, tel)
+                run_pass(engine, w_paths, w_read, names, tel)
                 dt = time.time() - t0
                 spent += dt
-                times.append(dt)
-                tels.append(tel)
-                if w == WIRE:
-                    events = ev
-        stage(f'{w} timed x{len(times)}: '
-              f'{[round(t, 2) for t in times]}')
-        if w == WIRE and MODE == 'resident':
-            raw_after = measure_raw_link_mb_s()
-            stage(f'raw link probe: {raw_after:.0f} MB/s')
-        best = int(np.argmin(times))
-        readings[w] = {
-            'clips_per_sec': round(N_CLIPS / times[best], 1),
-            'times_s': [round(t, 2) for t in times],
-        }
-        if w == WIRE and tels[best] is not None:
-            best_tel = tels[best]
-            if raw_before is not None:
-                # link-phase context: the engine pass runs AT raw-link
-                # speed (BENCHMARKS.md), so these bound what any
-                # serving engine could have scored in this window
-                best_tel['raw_link_mb_s'] = [round(raw_before, 1),
-                                             round(raw_after, 1)]
+                w_times.append(dt)
+            stage(f'{w} timed x{len(w_times)}: '
+                  f'{[round(t, 2) for t in w_times]}')
+            readings[w] = {
+                'clips_per_sec': round(N_CLIPS / min(w_times), 1),
+                'times_s': [round(t, 2) for t in w_times],
+            }
 
-    elapsed = min(readings[WIRE]['times_s'])
-    clips_per_sec = readings[WIRE]['clips_per_sec']
+    clips_per_sec = round(N_CLIPS / elapsed, 1)
     n_events = sum(len(e) for e in events)
-    qname = (f'{WIRE} container' if WIRE.startswith('q')
-             else f'{WIRE} wav')
+    qname = (f'{headline_wire} container'
+             if headline_wire.startswith('q') else f'{headline_wire} wav')
+    auto_tag = ('phase-adaptive wire, ' if WIRE == 'auto' else '')
     result = {
-        'metric': (f'5s-clip inferences/sec/chip ({qname} file->XML '
-                   'e2e; qN encode excluded, wav wires fully decoded '
-                   'in-loop)'),
+        'metric': (f'5s-clip inferences/sec/chip ({auto_tag}{qname} '
+                   'file->XML e2e; qN encode excluded, wav wires fully '
+                   'decoded in-loop)'),
         'value': clips_per_sec,
         'unit': 'clips/s',
         'vs_baseline': round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 2),
         'wires': {w: r['clips_per_sec'] for w, r in readings.items()},
-        'telemetry': compact_telemetry(best_tel),
+        'telemetry': compact_telemetry(
+            dict(best_tel, bf16=bf16_used, wire=headline_wire)),
     }
     emit_headline(result)
     print(f'# {N_CLIPS} clips in {elapsed:.2f}s, {n_events} events, '
-          f'mode={MODE}, threads={THREADS}, wire={WIRE}, bf16={BF16}, '
+          f'mode={MODE}, threads={THREADS}, wire={WIRE}'
+          f'->{headline_wire}, bf16={bf16_used}, '
           f'group={GROUP}, pull={PULL}, trained_ckpt={trained}; '
           f'all readings (headline first, secondaries adjacent): '
           f'{json.dumps(readings)}',
           file=sys.stderr)
 
-    for w in wires:
+    for w in files:
         for p in files[w][0]:
             os.unlink(p)
     os.rmdir(tmpdir)

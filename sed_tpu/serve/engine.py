@@ -34,6 +34,21 @@ from sed_tpu.post import xml_writer
 from sed_tpu.ops import wire as wire_ops
 
 
+class LinkCollapseError(RuntimeError):
+    """Raised mid-pass when the host->device upload misses the
+    caller's deadline — the signature of the serving link collapsing
+    underneath a pass that was dispatched on a fast-phase prediction.
+
+    The partial pass is abandoned cheaply: the upload threads are
+    daemonic and left to drain in the background (a ``device_put`` in
+    flight cannot be cancelled), the orchestrating thread returns
+    immediately, and the engine stays fully usable — a retry re-uploads
+    from the host buffers.  Callers (e.g. the bench's probe gate) treat
+    the abort as a skipped draw and re-probe instead of dragging a dead
+    link phase to completion (the 18 Aug official run lost its fast
+    phase mid-pass and halved the headline; see BENCHMARKS.md)."""
+
+
 def window_starts(duration: float, sample_duration: int,
                   overlap: bool, step: Optional[float] = None
                   ) -> List[float]:
@@ -338,6 +353,47 @@ class SedInferenceEngine:
             return jnp.concatenate([packed[:k], packed[k:]], axis=1)
 
         return jax.jit(_gather_packed), tb
+
+    def measure_forward_ms(self, iters: int = 8) -> float:
+        """TRUE device ms per batched forward, via in-jit chained
+        iterations (the only methodology the tunnel cannot fake:
+        host-chained ``block_until_ready`` returns early on this
+        backend — BENCHMARKS.md round-3 correction).
+
+        Runs two jitted programs (1-iter and ``iters``-iter chains of
+        the model forward with a data dependency between iterations),
+        pulls a scalar from each, and differences the wall times so
+        dispatch + RPC latency cancel.  Used as the bf16 degradation
+        guard: the tunnel sporadically degrades a bf16 executable for a
+        whole process (BENCHMARKS.md "bf16 caveats"); callers compare
+        this reading against the recorded healthy device time and fall
+        back to f32 when it exceeds ~3x.  Programs are
+        persistent-cache-friendly (fixed shapes).
+        """
+        model = self.model
+        variables = self.variables
+        wav0 = jnp.zeros((self.batch_size, self.window_samples),
+                         jnp.float32)
+
+        def chained(w, k):
+            def body(i, carry):
+                out = model.apply(variables, carry, train=False)
+                return w + out['clipwise_output'].mean() * 1e-6
+            return jax.lax.fori_loop(0, k, body, w).sum()
+
+        f1 = jax.jit(lambda w: chained(w, 1))
+        fk = jax.jit(lambda w: chained(w, iters))
+        dev = jax.device_put(wav0)
+        times = []
+        for fn, k in ((f1, 1), (fk, iters)):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                float(np.asarray(fn(dev)))      # forces real completion
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            times.append(best)
+        return max(0.0, (times[1] - times[0]) / (iters - 1)) * 1e3
 
     def _clip_out_frames(self) -> int:
         """Framewise output length for one sample_duration window,
@@ -1098,7 +1154,8 @@ class SedInferenceEngine:
                                upload_threads: int = 4,
                                telemetry: Optional[dict] = None,
                                max_pass_clips: Optional[int] = None,
-                               launch_chunks: int = 1
+                               launch_chunks: int = 1,
+                               upload_deadline_s: Optional[float] = None
                                ) -> Tuple[List[List[dict]], List[str]]:
         """File-list variant of ``predict_clips_resident`` that PIPELINES
         file decode with the uploads: each upload thread reads its slice
@@ -1121,6 +1178,14 @@ class SedInferenceEngine:
         chunk thread reads its files, uploads, and dispatches its own
         single-chunk program — file decode, transfer, device compute,
         and host event decode all pipeline.  Exact — same events.
+
+        ``upload_deadline_s``: abandon the pass with
+        ``LinkCollapseError`` if the uploads have not completed within
+        this many seconds — callers that predicted a fast link phase
+        (probe gate) use it to bail out of a mid-pass link collapse in
+        seconds instead of dragging a dead phase to completion.  The
+        in-flight transfers drain in daemon threads; the engine stays
+        usable and a retry re-reads from the files.
         """
         assert self.mesh is None, (
             'predict_files_resident is single-device; use predict_clips '
@@ -1143,7 +1208,8 @@ class SedInferenceEngine:
                 ev, xs = self.predict_files_resident(
                     paths[lo:hi], reader, names=names[lo:hi],
                     upload_threads=upload_threads, telemetry=tel,
-                    launch_chunks=launch_chunks)
+                    launch_chunks=launch_chunks,
+                    upload_deadline_s=upload_deadline_s)
                 all_events.extend(ev)
                 all_xmls.extend(xs)
                 if tel is not None:
@@ -1197,15 +1263,30 @@ class SedInferenceEngine:
             except BaseException as e:
                 errs.append(e)
 
-        if k == 1:
+        if k == 1 and upload_deadline_s is None:
             _read_upload(0)
         else:
-            ths = [threading.Thread(target=_read_upload, args=(i,))
+            ths = [threading.Thread(target=_read_upload, args=(i,),
+                                    daemon=True)
                    for i in range(k)]
             for t in ths:
                 t.start()
+            deadline = (time.time() + upload_deadline_s
+                        if upload_deadline_s is not None else None)
             for t in ths:
-                t.join()
+                t.join(timeout=None if deadline is None
+                       else max(0.0, deadline - time.time()))
+            stuck = [t for t in ths if t.is_alive()]
+            if stuck:
+                # mid-pass link collapse: abandon the draw NOW; the
+                # in-flight device_puts drain in the daemon threads
+                if telemetry is not None:
+                    telemetry.update(aborted=1, upload_s=round(
+                        time.time() - t0, 4))
+                raise LinkCollapseError(
+                    f'{len(stuck)}/{k} upload threads missed the '
+                    f'{upload_deadline_s:.1f}s deadline — link '
+                    f'collapsed mid-pass')
         if errs:
             raise errs[0]
         t1 = time.time()

@@ -33,6 +33,15 @@ def _pass_time(bw):
     return 250.0 / bw + 1.0
 
 
+def _ws(bench, **alts):
+    """Fresh single-primary wireset dict (250 MiB q6 pass), plus
+    optional alternates given as wire=mib pairs."""
+    d = {'q6': ('q6', None, 250 * 2**20)}
+    for w, mib in alts.items():
+        d[w] = (w, None, int(mib * 2**20))
+    return d
+
+
 def _stub(bench, monkeypatch, probe_bws, max_repeats=6, reality_s=1e9):
     """Scripted probe sequence + simulated clock.  The fake pass's
     duration tracks the CURRENT probe reading; sleeps advance the
@@ -52,10 +61,11 @@ def _stub(bench, monkeypatch, probe_bws, max_repeats=6, reality_s=1e9):
         state['probes'] += 1
         return state['bw']
 
-    def fake_pass(engine, paths, read, names, tel=None):
+    def fake_pass(engine, paths, read, names, tel=None, **kw):
         if tel is not None:
             tel.update(bytes_h2d=250_000_000)
         state['passes'].append(state['bw'])
+        state['wires'] = state.get('wires', []) + [paths]
         state['t'] += _pass_time(state['bw'])
         return {'clip': []}, []
 
@@ -70,8 +80,8 @@ def _stub(bench, monkeypatch, probe_bws, max_repeats=6, reality_s=1e9):
 
 def test_first_two_draws_unconditional_no_probe(bench, monkeypatch):
     state = _stub(bench, monkeypatch, [20.0], max_repeats=2)
-    times, tels, events, probes = bench.gated_headline_draws(
-        None, None, None, None, lambda m: None)
+    times, tels, wires_d, events, probes = bench.gated_headline_draws(
+        None, _ws(bench), None, lambda m: None)
     assert len(times) == 2
     assert state['probes'] == 0          # gate never consulted
     assert events == {'clip': []}
@@ -86,8 +96,8 @@ def test_slow_probes_skip_then_fast_probe_draws(bench, monkeypatch):
                   [20.0, 20.0, 20.0, 500.0], max_repeats=8)
     monkeypatch.setattr(bench, 'WALL_BUDGET', 60.0)
     msgs = []
-    times, tels, events, probes = bench.gated_headline_draws(
-        None, None, None, None, msgs.append)
+    times, tels, wires_d, events, probes = bench.gated_headline_draws(
+        None, _ws(bench), None, msgs.append)
     assert state['passes'][:2] == [20.0, 20.0]
     assert 500.0 in state['passes']      # the fast window was spent on
     assert min(times) < 2.0              # ~1.5 s fast draw recorded
@@ -103,8 +113,8 @@ def test_reality_check_forces_draw_during_slow_phase(bench, monkeypatch):
     # reality-check window at 0 every probe forces a draw anyway
     state = _stub(bench, monkeypatch, [20.0], max_repeats=4,
                   reality_s=0.0)
-    times, _, _, _ = bench.gated_headline_draws(
-        None, None, None, None, lambda m: None)
+    times, _, _, _, _ = bench.gated_headline_draws(
+        None, _ws(bench), None, lambda m: None)
     assert len(times) == 4
 
 
@@ -114,8 +124,8 @@ def test_dead_phase_first_draw_not_ratified(bench, monkeypatch):
     state = _stub(bench, monkeypatch, [0.6], max_repeats=8)
     monkeypatch.setattr(bench, 'WALL_BUDGET', 360.0)
     msgs = []
-    times, _, _, _ = bench.gated_headline_draws(
-        None, None, None, None, msgs.append)
+    times, _, _, _, _ = bench.gated_headline_draws(
+        None, _ws(bench), None, msgs.append)
     assert len(times) == 1
     assert any('wall budget' in m for m in msgs)
 
@@ -124,8 +134,8 @@ def test_draw_time_budget_caps_spend(bench, monkeypatch):
     state = _stub(bench, monkeypatch, [20.0], max_repeats=24,
                   reality_s=0.0)
     monkeypatch.setattr(bench, 'TIME_BUDGET', 30.0)
-    times, _, _, _ = bench.gated_headline_draws(
-        None, None, None, None, lambda m: None)
+    times, _, _, _, _ = bench.gated_headline_draws(
+        None, _ws(bench), None, lambda m: None)
     # ~13.5 s/draw: 2 unconditional, then the gate stops at >= 30 s
     assert len(times) == 3
 
@@ -151,7 +161,7 @@ def _stub_sized(bench, monkeypatch, seq8, seq32, pass_bws,
         state['probe_calls'].append((mb, bw))
         return bw
 
-    def fake_pass(engine, paths, read, names, tel=None):
+    def fake_pass(engine, paths, read, names, tel=None, **kw):
         if tel is not None:
             tel.update(bytes_h2d=250_000_000)
         i = len(state['passes'])
@@ -178,8 +188,8 @@ def test_ramp_escalation_rescues_a_ramping_phase(bench, monkeypatch):
     state = _stub_sized(bench, monkeypatch,
                         seq8=[46.0], seq32=[450.0],
                         pass_bws=[100.0, 100.0, 450.0], max_repeats=3)
-    times, _, _, _ = bench.gated_headline_draws(
-        None, None, None, None, lambda m: None)
+    times, _, _, _, _ = bench.gated_headline_draws(
+        None, _ws(bench), None, lambda m: None)
     assert len(times) == 3
     assert min(times) < 2.0                     # the fast draw landed
     assert (32, 450.0) in state['probe_calls']  # escalation happened
@@ -192,8 +202,8 @@ def test_no_escalation_below_threshold(bench, monkeypatch):
                         seq8=[36.0], seq32=[9999.0],
                         pass_bws=[36.0], max_repeats=8)
     monkeypatch.setattr(bench, 'WALL_BUDGET', 120.0)
-    times, _, _, _ = bench.gated_headline_draws(
-        None, None, None, None, lambda m: None)
+    times, _, _, _, _ = bench.gated_headline_draws(
+        None, _ws(bench), None, lambda m: None)
     assert all(mb == 8 for mb, _ in state['probe_calls'])
     assert len(times) == 2                      # gate skipped the rest
 
@@ -208,8 +218,8 @@ def test_target_hit_stops_draws_early(bench, monkeypatch):
                         max_repeats=8)
     monkeypatch.setattr(bench, 'TARGET_CLIPS_S', 1100.0)
     msgs = []
-    times, _, _, _ = bench.gated_headline_draws(
-        None, None, None, None, msgs.append)
+    times, _, _, _, _ = bench.gated_headline_draws(
+        None, _ws(bench), None, msgs.append)
     assert len(times) == 3
     assert any('target' in m for m in msgs)
 
@@ -218,8 +228,8 @@ def test_no_unbounded_arrays_in_draw_telemetry(bench, monkeypatch):
     # round-3 regression: probe history must never ride the per-draw
     # telemetry dicts (it made the official headline line unparseable)
     state = _stub(bench, monkeypatch, [20.0, 20.0, 500.0], max_repeats=4)
-    times, tels, events, probes = bench.gated_headline_draws(
-        None, None, None, None, lambda m: None)
+    times, tels, wires_d, events, probes = bench.gated_headline_draws(
+        None, _ws(bench), None, lambda m: None)
     for t in tels:
         assert 'gate_probes_mb_s' not in t
         for v in t.values():
@@ -272,3 +282,169 @@ def test_emit_headline_sheds_bulk_to_stay_parseable(bench, capsys):
     parsed = json.loads(line)
     assert parsed['value'] == 1234.5
     assert 'telemetry' not in parsed       # shed, value intact
+
+
+def _stub_adaptive(bench, monkeypatch, probe_bws, wiresets,
+                   max_repeats=6, reality_s=1e9):
+    """Adaptive-wire stub: the fake pass's duration follows the DRAWN
+    wire's byte count at the current probe reading, so narrower wires
+    genuinely finish faster at slow phases."""
+    state = {'bw': probe_bws[0], 'probes': 0, 'passes': [],
+             'wires': [], 't': 1000.0}
+    sizes = {w: ws[2] for w, ws in wiresets.items()}
+
+    def fake_now():
+        state['t'] += 1e-4
+        return state['t']
+
+    def fake_sleep(s):
+        state['t'] += s
+
+    def fake_probe(mb=8):
+        i = min(state['probes'], len(probe_bws) - 1)
+        state['bw'] = probe_bws[i]
+        state['probes'] += 1
+        return state['bw']
+
+    def fake_pass(engine, paths, read, names, tel=None, **kw):
+        wire = paths                      # wireset stores the name here
+        state['passes'].append(state['bw'])
+        state['wires'].append(wire)
+        state['t'] += sizes[wire] / (state['bw'] * 2**20) + 1.0
+        return {'clip': []}, []
+
+    monkeypatch.setattr(bench, '_now', fake_now)
+    monkeypatch.setattr(bench, '_sleep', fake_sleep)
+    monkeypatch.setattr(bench, 'measure_raw_link_mb_s', fake_probe)
+    monkeypatch.setattr(bench, 'run_pass', fake_pass)
+    monkeypatch.setattr(bench, 'MAX_REPEATS', max_repeats)
+    monkeypatch.setattr(bench, 'REALITY_CHECK_S', reality_s)
+    return state
+
+
+def test_adaptive_gate_picks_narrow_wire_at_slow_phase(bench,
+                                                       monkeypatch):
+    # 20 MB/s flat slow phase: q6 (250 MiB) predicts ~13.7 s, adpcm4
+    # (167 MiB) ~9.6 s — past the 8% quality margin, so after the two
+    # unconditional primary draws the gate draws with adpcm4
+    ws = _ws(bench, adpcm4=167)
+    state = _stub_adaptive(bench, monkeypatch, [20.0], ws,
+                           max_repeats=4, reality_s=0.0)
+    prepared = []
+
+    def prepare():
+        prepared.append(True)
+        return {'adpcm4': ws['adpcm4']}
+
+    times, tels, wires_d, events, probes = bench.gated_headline_draws(
+        None, {'q6': ws['q6']}, None, lambda m: None,
+        prepare_alternates=prepare)
+    assert wires_d[:2] == ['q6', 'q6']          # unconditional primary
+    assert prepared == [True]                   # lazily, exactly once
+    assert set(wires_d[2:]) == {'adpcm4'}       # slow phase -> narrow
+    assert min(times[2:]) < min(times[:2])      # and it IS faster
+    assert all(t.get('wire') in ('q6', 'adpcm4') for t in tels)
+
+
+def test_adaptive_gate_keeps_primary_at_fast_phase(bench, monkeypatch):
+    # 1000 MB/s ramping phase: bytes are ~0.2 s of the pass either way,
+    # so the narrow wire cannot clear the 8% margin — quality wins and
+    # the primary keeps the draws
+    ws = _ws(bench, adpcm4=167)
+    state = _stub_adaptive(bench, monkeypatch, [1000.0], ws,
+                           max_repeats=4, reality_s=0.0)
+    times, tels, wires_d, events, probes = bench.gated_headline_draws(
+        None, dict(ws), None, lambda m: None)
+    assert set(wires_d) == {'q6'}
+
+
+def test_adaptive_fixed_overhead_learned_per_wire(bench, monkeypatch):
+    # draws happen on both wires; fixed-overhead residuals must be
+    # attributed to the wire that was drawn (a heavy-decode wire's
+    # residual must not pollute the primary's prediction) — observable
+    # via the gate continuing to pick the narrow wire at slow phases
+    # even after several draws of each
+    ws = _ws(bench, adpcm4=167)
+    state = _stub_adaptive(bench, monkeypatch, [20.0], ws,
+                           max_repeats=6, reality_s=0.0)
+    times, tels, wires_d, events, probes = bench.gated_headline_draws(
+        None, dict(ws), None, lambda m: None)
+    assert wires_d[2:] == ['adpcm4'] * 4
+
+
+def test_gate_aborts_collapsed_draw_and_keeps_hunting(bench,
+                                                      monkeypatch):
+    """A gate-approved (predicted-fast) draw whose link collapses must
+    be abandoned via the upload deadline: its time is NOT recorded, its
+    wall cost counts toward the budgets, and the hunt continues."""
+    from sed_tpu.serve.engine import LinkCollapseError
+    ws = _ws(bench)
+    state = {'bw': 20.0, 'probes': 0, 't': 1000.0,
+             'aborts': 0, 'deadlines': []}
+
+    def fake_now():
+        state['t'] += 1e-4
+        return state['t']
+
+    def fake_probe(mb=8):
+        state['probes'] += 1
+        state['bw'] = 500.0 if state['probes'] >= 1 else 20.0
+        return state['bw']
+
+    def fake_pass(engine, paths, read, names, tel=None,
+                  upload_deadline_s=None):
+        state['deadlines'].append(upload_deadline_s)
+        if upload_deadline_s is not None:
+            # simulate: link collapsed, deadline missed
+            state['t'] += upload_deadline_s
+            state['aborts'] += 1
+            raise LinkCollapseError('stub collapse')
+        state['t'] += 250.0 / state['bw'] + 1.0
+        return {'clip': []}, []
+
+    monkeypatch.setattr(bench, '_now', fake_now)
+    monkeypatch.setattr(bench, '_sleep', lambda s: None)
+    monkeypatch.setattr(bench, 'measure_raw_link_mb_s', fake_probe)
+    monkeypatch.setattr(bench, 'run_pass', fake_pass)
+    monkeypatch.setattr(bench, 'MAX_REPEATS', 8)
+    monkeypatch.setattr(bench, 'REALITY_CHECK_S', 1e9)
+    monkeypatch.setattr(bench, 'WALL_BUDGET', 80.0)
+    msgs = []
+    times, tels, wires_d, events, probes = bench.gated_headline_draws(
+        None, ws, None, msgs.append)
+    # the two unconditional draws ran without a deadline and recorded
+    assert state['deadlines'][:2] == [None, None]
+    assert len(times) == 2
+    # every gate-approved fast draw was deadlined, collapsed, aborted —
+    # and none of them entered the recorded times
+    assert state['aborts'] >= 1
+    assert any('ABORTED' in m for m in msgs)
+
+
+def test_reality_check_draw_runs_without_deadline(bench, monkeypatch):
+    """Reality-check (forced) draws are the gate's ground truth for the
+    current phase — they must run with NO abort deadline even when a
+    probe reading exists."""
+    ws = _ws(bench)
+    state = {'t': 1000.0, 'deadlines': []}
+
+    def fake_now():
+        state['t'] += 1e-4
+        return state['t']
+
+    def fake_pass(engine, paths, read, names, tel=None,
+                  upload_deadline_s=None):
+        state['deadlines'].append(upload_deadline_s)
+        state['t'] += 250.0 / 20.0 + 1.0
+        return {'clip': []}, []
+
+    monkeypatch.setattr(bench, '_now', fake_now)
+    monkeypatch.setattr(bench, '_sleep', lambda s: None)
+    monkeypatch.setattr(bench, 'measure_raw_link_mb_s', lambda mb=8: 20.0)
+    monkeypatch.setattr(bench, 'run_pass', fake_pass)
+    monkeypatch.setattr(bench, 'MAX_REPEATS', 4)
+    monkeypatch.setattr(bench, 'REALITY_CHECK_S', 0.0)   # force always
+    times, _, _, _, _ = bench.gated_headline_draws(
+        None, ws, None, lambda m: None)
+    assert len(times) == 4
+    assert state['deadlines'] == [None] * 4

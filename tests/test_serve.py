@@ -821,3 +821,63 @@ def test_bf16_serving_events_match_f32():
     total = max(len(a), len(b), 1)
     assert len(a) > 0                     # trained model finds events
     assert matched(a, b) + matched(b, a) >= 2 * 0.9 * total, (a, b)
+
+
+def test_measure_forward_ms_returns_sane_reading(engine):
+    """The bf16 degradation guard's chained-forward timing must return
+    a finite positive ms/iter on any backend (it is pure timing, not a
+    threshold decision — the threshold lives in bench.py)."""
+    ms = engine.measure_forward_ms(iters=3)
+    assert np.isfinite(ms) and ms >= 0.0
+    # sanity: a batch-8 forward cannot take a minute per iteration
+    assert ms < 60_000
+
+
+def test_upload_deadline_aborts_collapsed_pass_engine_stays_usable(
+        engine, tmp_path):
+    """Injected-slowdown test (VERDICT round-3 #5): when an upload
+    thread stalls past ``upload_deadline_s``, predict_files_resident
+    must raise LinkCollapseError promptly, and the engine must serve
+    the SAME files correctly on the retry."""
+    import time as _time
+    from sed_tpu.serve.engine import LinkCollapseError
+
+    rng = np.random.RandomState(0)
+    sr = AUDIO_16K.sample_rate
+    clips = rng.uniform(-0.3, 0.3, (8, sr * 5)).astype(np.float32)
+    paths = []
+    for i in range(8):
+        p = tmp_path / f'c{i}.wav'
+        audio_io.save_wav(str(p), clips[i], sr)
+        paths.append(str(p))
+    read = lambda p: audio_io.fast_read_wav_int16(p)[0]   # noqa: E731
+    names = [f'c{i}.wav' for i in range(8)]
+
+    baseline, _ = engine.predict_files_resident(paths, read, names=names,
+                                                upload_threads=2)
+
+    real_put = jax.device_put
+    stall = {'on': True}
+
+    def slow_put(x, *a, **kw):
+        if stall['on'] and getattr(x, 'nbytes', 0) > 1000:
+            _time.sleep(3.0)        # a dead link phase
+        return real_put(x, *a, **kw)
+
+    t0 = _time.time()
+    try:
+        jax.device_put = slow_put
+        with pytest.raises(LinkCollapseError):
+            engine.predict_files_resident(paths, read, names=names,
+                                          upload_threads=2,
+                                          upload_deadline_s=0.5)
+        aborted_after = _time.time() - t0
+    finally:
+        jax.device_put = real_put
+        stall['on'] = False
+    # the abort must be prompt (deadline + epsilon, not the stall time)
+    assert aborted_after < 2.5
+    # the engine is fully usable afterwards and exact
+    retry, _ = engine.predict_files_resident(paths, read, names=names,
+                                             upload_threads=2)
+    assert retry == baseline
