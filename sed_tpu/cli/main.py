@@ -93,7 +93,7 @@ def train(args):
     best_map, iteration = 0.0, 0
     rng = jax.random.PRNGKey(1234)
     while iteration != args.stop_iteration:
-        if iteration % 1000 == 0 and iteration > 0:
+        if iteration % args.eval_interval == 0 and iteration > 0:
             logging.info('Iteration: %d', iteration)
             statistics, _ = evaluator.evaluate(
                 state.params, state.batch_stats, test_loader,
@@ -128,6 +128,9 @@ def get_parser():
     common.add_common_args(sub)
     sub.add_argument('--learning_rate', type=float, default=1e-3)
     sub.add_argument('--stop_iteration', type=int, default=50000)
+    # the reference evaluates every 1000 iterations (``main.py:208``);
+    # configurable here so smoke tests can exercise the eval path
+    sub.add_argument('--eval_interval', type=int, default=1000)
     return parser
 
 
