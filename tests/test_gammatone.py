@@ -96,3 +96,30 @@ def test_gamma_model_forward():
     out = model.apply(variables, feat, train=False)
     # 994 frames -> pooled 124 -> x8 = 992 -> padded to roundup 1000
     assert out['framewise_output'].shape == (2, 1000, 25)
+
+
+def test_plot_cli_renders_gammatonegram_png(tmp_path):
+    """The plot CLI (parity with the reference's runnable ERB-axis
+    renderer, ``utils/gammatone/plot.py:148``) must render a wav to an
+    image file headlessly, honoring --duration; --accurate switches to
+    the full filterbank."""
+    import matplotlib
+    matplotlib.use('Agg')
+    from sed_tpu.data import audio_io
+    from sed_tpu.dsp import plot as plot_cli
+
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+    wave = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    wav = tmp_path / 'tone.wav'
+    audio_io.save_wav(str(wav), wave, sr)
+
+    out = tmp_path / 'gtg.png'
+    plot_cli.main([str(wav), '-d', '1', '-o', str(out)])
+    assert out.exists() and out.stat().st_size > 1000
+    with open(out, 'rb') as f:
+        assert f.read(8) == b'\x89PNG\r\n\x1a\n'
+
+    out2 = tmp_path / 'gtg_acc.png'
+    plot_cli.main([str(wav), '-d', '1', '-a', '-o', str(out2)])
+    assert out2.exists() and out2.stat().st_size > 1000
