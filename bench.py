@@ -452,10 +452,12 @@ def gated_headline_draws(engine, wiresets, names, stage,
             # the draw was approved on a fast-phase prediction: if the
             # link collapses mid-pass, abandon it within a few seconds
             # instead of dragging a dead phase to completion (the
-            # 18 Aug official run halved its headline that way)
-            est_up = bytes_w / bw_bytes
-            deadline = max(ABORT_FACTOR * est_up,
-                           est_up + ABORT_SLACK_S)
+            # 18 Aug official run halved its headline that way).  The
+            # budget covers the WHOLE predicted pass (upload through
+            # pull — device_put can return before bytes cross, so the
+            # wait may surface in the pull)
+            deadline = max(ABORT_FACTOR * est[wire],
+                           est[wire] + ABORT_SLACK_S)
         t0 = _now()
         try:
             ev, _ = run_pass(engine, paths, read, names, tel,

@@ -1149,6 +1149,37 @@ class SedInferenceEngine:
                 rpcs=3 * m, n_batches=n_batches, launch_chunks=m)
         return per_clip, xmls
 
+    @staticmethod
+    def _materialize_with_deadline(dev, deadline: float, budget_s: float,
+                                   telemetry: Optional[dict],
+                                   t0: float) -> np.ndarray:
+        """``np.asarray(dev)`` bounded by an absolute ``deadline``: the
+        pull runs in a daemon thread; missing the deadline raises
+        ``LinkCollapseError`` (the orphaned pull drains in background,
+        its buffer released when the thread finishes)."""
+        out: list = []
+        err: list = []
+
+        def pull():
+            try:
+                out.append(np.asarray(dev))
+            except BaseException as e:
+                err.append(e)
+
+        th = threading.Thread(target=pull, daemon=True)
+        th.start()
+        th.join(max(0.0, deadline - time.time()))
+        if err:
+            raise err[0]
+        if not out:
+            if telemetry is not None:
+                telemetry.update(aborted=1,
+                                 upload_s=round(time.time() - t0, 4))
+            raise LinkCollapseError(
+                f'result pull missed the {budget_s:.1f}s pass deadline '
+                f'— link collapsed mid-pass')
+        return out[0]
+
     def predict_files_resident(self, paths: Sequence[str], reader,
                                names: Optional[List[str]] = None,
                                upload_threads: int = 4,
@@ -1180,12 +1211,16 @@ class SedInferenceEngine:
         and host event decode all pipeline.  Exact — same events.
 
         ``upload_deadline_s``: abandon the pass with
-        ``LinkCollapseError`` if the uploads have not completed within
-        this many seconds — callers that predicted a fast link phase
-        (probe gate) use it to bail out of a mid-pass link collapse in
-        seconds instead of dragging a dead phase to completion.  The
-        in-flight transfers drain in daemon threads; the engine stays
-        usable and a retry re-reads from the files.
+        ``LinkCollapseError`` if it has not reached the decode stage
+        within this many seconds.  The budget spans upload dispatch
+        THROUGH the result pull: on this backend ``device_put`` can
+        return before the bytes actually cross the link (the wait then
+        surfaces in the blocking pull), so bounding the uploads alone
+        would miss a mid-pass collapse.  Callers that predicted a fast
+        link phase (probe gate) use it to bail out in seconds instead
+        of dragging a dead phase to completion.  In-flight transfers
+        and the orphaned pull drain in daemon threads; the engine
+        stays usable and a retry re-reads from the files.
         """
         assert self.mesh is None, (
             'predict_files_resident is single-device; use predict_clips '
@@ -1263,7 +1298,9 @@ class SedInferenceEngine:
             except BaseException as e:
                 errs.append(e)
 
-        if k == 1 and upload_deadline_s is None:
+        deadline = (t0 + upload_deadline_s
+                    if upload_deadline_s is not None else None)
+        if k == 1 and deadline is None:
             _read_upload(0)
         else:
             ths = [threading.Thread(target=_read_upload, args=(i,),
@@ -1271,8 +1308,6 @@ class SedInferenceEngine:
                    for i in range(k)]
             for t in ths:
                 t.start()
-            deadline = (time.time() + upload_deadline_s
-                        if upload_deadline_s is not None else None)
             for t in ths:
                 t.join(timeout=None if deadline is None
                        else max(0.0, deadline - time.time()))
@@ -1285,7 +1320,7 @@ class SedInferenceEngine:
                         time.time() - t0, 4))
                 raise LinkCollapseError(
                     f'{len(stuck)}/{k} upload threads missed the '
-                    f'{upload_deadline_s:.1f}s deadline — link '
+                    f'{upload_deadline_s:.1f}s pass deadline — link '
                     f'collapsed mid-pass')
         if errs:
             raise errs[0]
@@ -1303,7 +1338,15 @@ class SedInferenceEngine:
         p = self.sed_params.per_class(len(self.labels)) \
             if hasattr(self.sed_params, 'per_class') else self.sed_params
         per_clip: List[List[dict]] = [[] for _ in range(n)]
-        buf = np.asarray(target)
+        # the pull blocks until transfer+compute+d2h all complete; on
+        # this backend device_put can return early, so the SAME pass
+        # deadline must also bound the pull or a mid-pass collapse
+        # would drag here instead
+        if deadline is None:
+            buf = np.asarray(target)
+        else:
+            buf = self._materialize_with_deadline(
+                target, deadline, upload_deadline_s, telemetry, t0)
         pulled_bytes = buf.nbytes
         t3 = time.time()
         if topk:

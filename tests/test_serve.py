@@ -881,3 +881,33 @@ def test_upload_deadline_aborts_collapsed_pass_engine_stays_usable(
     retry, _ = engine.predict_files_resident(paths, read, names=names,
                                              upload_threads=2)
     assert retry == baseline
+
+
+def test_materialize_with_deadline_aborts_stalled_pull():
+    """device_put can return before bytes cross this link, so a
+    mid-pass collapse surfaces in the blocking result pull — the
+    deadline must bound that too."""
+    import time as _time
+    from sed_tpu.serve.engine import (LinkCollapseError,
+                                      SedInferenceEngine)
+
+    class _Stalled:
+        def __array__(self, dtype=None, copy=None):
+            _time.sleep(3.0)
+            return np.zeros(3)
+
+    tel = {}
+    t0 = _time.time()
+    with pytest.raises(LinkCollapseError):
+        SedInferenceEngine._materialize_with_deadline(
+            _Stalled(), _time.time() + 0.3, 0.3, tel, t0)
+    assert _time.time() - t0 < 2.0          # prompt, not the stall time
+    assert tel.get('aborted') == 1
+
+    class _Fast:
+        def __array__(self, dtype=None, copy=None):
+            return np.arange(4)
+
+    out = SedInferenceEngine._materialize_with_deadline(
+        _Fast(), _time.time() + 5.0, 5.0, None, _time.time())
+    assert list(out) == [0, 1, 2, 3]
