@@ -78,8 +78,15 @@ def build_dataset(root, n_per_split):
 
 
 def main():
-    workdir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(
-        prefix='sed_learn_')
+    """Usage: synthetic_learning_check.py [workdir] [extra train args...]
+
+    Extra args are forwarded to ``main_strong train`` (e.g.
+    ``--compute_dtype bf16 --batch_size 8``) so dtype/batch variants can
+    be checked for an equal loss trajectory against the f32 baseline."""
+    workdir = (sys.argv[1] if len(sys.argv) > 1
+               and not sys.argv[1].startswith('-')
+               else tempfile.mkdtemp(prefix='sed_learn_'))
+    extra = [a for a in sys.argv[1:] if a != workdir]
     dataset = os.path.join(workdir, 'dataset')
     ws = os.path.join(workdir, 'workspace')
     build_dataset(dataset, {'weak_training': 48, 'strong_training': 48,
@@ -89,13 +96,20 @@ def main():
         features_cli.main(['pack_audio_files_to_hdf5',
                            '--dataset_dir', dataset, '--workspace', ws,
                            '--data_type', split, '--audio_16k'])
-    main_strong_cli.main([
+    argv = [
         'train', '--dataset_dir', dataset, '--workspace', ws,
         '--model_type', 'Cnn_9layers_Gru_FrameAtt',
         '--loss_type', 'clip_bce', '--augmentation', 'specaugment_mixup',
         '--batch_size', '4', '--feature_type', 'logmel', '--audio_16k',
         '--learning_rate', '1e-3', '--stop_iteration', '601',
-        '--eval_interval', '200'])
+        '--eval_interval', '200']
+    for i in range(0, len(extra), 2):            # later flags win
+        if extra[i] in argv:
+            j = argv.index(extra[i])
+            argv[j + 1] = extra[i + 1]
+        else:
+            argv += [extra[i], extra[i + 1]]
+    main_strong_cli.main(argv)
     print('done; see the logged valid/test framewise mAP + ER trajectory '
           f'in {ws}/logs')
 
