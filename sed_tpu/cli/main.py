@@ -121,6 +121,41 @@ def train(args):
         iteration += 1
 
 
+def inference_prob(args):
+    """Test-set inference + metrics + prediction-pickle dump for the
+    weak driver (``pytorch/main.py:281-380``): evaluate the saved best
+    checkpoint on the testing split and cache the output dict."""
+    import pickle
+    from sed_tpu.cli import common as c
+    from sed_tpu.eval.calculate_metrics import get_metric
+
+    cfg, ws = c.resolve(args)
+    refs = c.reference_csv_paths(args)
+    model, variables = c.build_model_and_variables(args, cfg, ws)
+    dataset = AudiosetDataset()
+    test_loader = DataLoader(
+        dataset, TestSampler(c.hdf5_path(args, cfg, 'testing'),
+                             args.batch_size))
+    evaluator = Evaluator(model, EVAL_SED_PARAMS,
+                          batch_size=args.batch_size)
+    submission = ws.submission_path(create=True)
+    t0 = time.time()
+    statistics, output_dict = evaluator.evaluate(
+        variables['params'], variables.get('batch_stats'), test_loader,
+        refs['test'], submission, cfg.frames_per_second)
+    results = statistics['sed_metrics']
+    print('Processing time: {} s\n'.format(time.time() - t0))
+    print('Micro F1: {:.3f}'.format(get_metric(results, 'f1')))
+    print('Micro ER: {:.3f}'.format(get_metric(results, 'er')))
+    pred_path = ws.predictions_path(
+        f'test_predictions_{args.feature_type}_{cfg.name}.pkl',
+        create=True)
+    with open(pred_path, 'wb') as f:
+        pickle.dump(output_dict, f)
+    print('Write out to {}'.format(pred_path))
+    return statistics
+
+
 def get_parser():
     parser = argparse.ArgumentParser(description='sed_tpu main (weak)')
     subparsers = parser.add_subparsers(dest='mode', required=True)
@@ -131,11 +166,18 @@ def get_parser():
     # the reference evaluates every 1000 iterations (``main.py:208``);
     # configurable here so smoke tests can exercise the eval path
     sub.add_argument('--eval_interval', type=int, default=1000)
+    sub_ip = subparsers.add_parser('inference_prob')
+    common.add_common_args(sub_ip)
+    sub_ip.add_argument('--iteration', type=int, default=None,
+                        help='reference-compat no-op: the weak driver '
+                             'saves a single best checkpoint')
     return parser
 
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    if args.mode == 'inference_prob':
+        return inference_prob(args)
     train(args)
 
 

@@ -93,3 +93,35 @@ def test_weak_train_e2e_eval_and_best_checkpoint(dataset_dir,
     for base, _dirs, fns in os.walk(workspace):
         subs += [f for f in fns if f.endswith('_submission.csv')]
     assert subs, 'evaluator wrote no submission file'
+
+
+def test_weak_inference_prob_dumps_predictions(dataset_dir,
+                                               tmp_path_factory):
+    """``cli.main inference_prob`` (reference ``main.py:281-380``):
+    evaluate the weak driver's saved checkpoint on the testing split
+    and cache the prediction pickle."""
+    workspace = str(tmp_path_factory.mktemp('weak_ws_ip'))
+    for split in ('training', 'testing'):
+        features_cli.main(['pack_audio_files_to_hdf5',
+                           '--dataset_dir', dataset_dir,
+                           '--workspace', workspace,
+                           '--data_type', split, '--audio_16k'])
+    common = ['--dataset_dir', dataset_dir, '--workspace', workspace,
+              '--filename', 'main',
+              '--model_type', 'Cnn_9layers_FrameAvg',
+              '--loss_type', 'clip_bce',
+              '--augmentation', 'specaugment_timeshift_mixup',
+              '--batch_size', '2', '--audio_16k']
+    main_cli.main(['train'] + common + ['--stop_iteration', '3',
+                                        '--eval_interval', '2'])
+    main_cli.main(['inference_prob'] + common)
+    preds = []
+    for base, _dirs, fns in os.walk(os.path.join(workspace,
+                                                 'predictions')):
+        preds += [os.path.join(base, f) for f in fns
+                  if f.endswith('.pkl')]
+    assert len(preds) == 1
+    with open(preds[0], 'rb') as f:
+        out = pickle.load(f)
+    assert 'clipwise_output' in out and 'target' in out
+    assert out['clipwise_output'].shape == out['target'].shape
