@@ -217,3 +217,43 @@ def test_pallas_frontend_flag_matches_xla_path():
     np.testing.assert_allclose(np.asarray(out_p['framewise_output']),
                                np.asarray(out_x['framewise_output']),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_parameter_counts_vs_thesis_table():
+    """Pin trainable-parameter totals against the thesis table
+    (``Results_and_Discussion.tex:109``: 5,894,692 / 5,763,620 /
+    6,280,493; BASELINE.md).  The rebuild counts slightly less because
+    the reference's totals include modules that are INITIALIZED BUT
+    NEVER CALLED in forward() — verified head-to-head against the
+    actual ``pytorch/models.py``:
+
+      * ``AttBlock.bn_att`` (50 params @17 classes, 2 x n_out when
+        n_out=25): built in ``models.py:153`` and absent from
+        ``AttBlock.forward`` (``models.py:161-169``);
+      * the transformer head's ``multihead.layer_norm`` (1,024);
+      * the conformer head's ``classifier`` (2,465) and ``linear_emb``
+        (1,024) — and the thesis's conformer figure itself disagrees
+        with the current reference code (6,279,333) by a further 1,160,
+        i.e. the thesis used an earlier revision.
+
+    Full-forward output parity with the actual reference models is
+    pinned separately (test_reference_model_oracle.py), which is what
+    proves these omitted modules are dead code."""
+    import jax
+    from sed_tpu.config import AUDIO_16K
+    from sed_tpu.models.registry import get_model
+
+    expect = {
+        # ours = thesis - (dead modules)
+        'Cnn_9layers_Gru_FrameAtt': (5894692, 50),
+        'Cnn_9layers_Transformer_FrameAtt': (5763620, 50 + 1024),
+        # conformer: vs the reference CODE (see docstring)
+        'Cnn_9layers_Conformer_FrameAtt': (6279333, 50 + 2465 + 1024),
+    }
+    for name, (ref_total, dead) in expect.items():
+        model = get_model(name, AUDIO_16K)
+        v = model.init({'params': jax.random.PRNGKey(0)},
+                       np.zeros((1, 80000), np.float32), train=False)
+        n = sum(int(np.prod(x.shape))
+                for x in jax.tree_util.tree_leaves(v['params']))
+        assert n == ref_total - dead, (name, n, ref_total, dead)
