@@ -239,15 +239,24 @@ def fast_read_wav_mulaw(path: str) -> Tuple[np.ndarray, int]:
 # Bandwidth-lean serving wires: 128-sample blocks, signed N-bit mantissas
 # packed big-endian against a per-block float16 scale, scales appended to
 # the same uint8 buffer (one array per clip, so the engine's batch
-# plumbing is format agnostic).  Per 5 s clip: q4 ~41 KB, q5 ~51 KB,
-# q6 ~61 KB vs 80 KB mu-law / 160 KB int16.  Measured on the bench
-# distribution (BENCHMARKS.md): q6 is event/ER-equivalent to mu-law, q5
-# keeps the segment-ER but flutters event boundaries, q4 costs ER.
-# Device decode: two byte-gathers + shift/mask + one multiply.
+# plumbing is format agnostic).  Per 5 s clip: q2 ~21 KB, q3 ~31 KB,
+# q4 ~41 KB, q5 ~51 KB, q6 ~61 KB vs 80 KB mu-law / 160 KB int16.
+# Measured on the bench distribution with the TRAINED checkpoint
+# (19 Aug, 16 clips, 0.05 s onset tolerance — pinned in
+# tests/test_wire.py::test_narrow_wire_event_match_trained): q6 is
+# event-identical (match 1.00), q5 keeps most events but flutters
+# boundaries (0.73), q4 costs detections (0.67); q3/q2 DEGRADE
+# detection outright (0.13 / 0.07 — q3 finds 6 of 15 events) and are
+# therefore NOT bench auto-wire candidates — they exist as
+# extreme-link ingestion wires where degraded detection is an explicit
+# trade, with exact device decode tested at every width.
+# Device decode: two byte-gathers + shift/mask + one multiply — the
+# same static-slice formulation for every width (sample bit offsets
+# repeat every lcm(8, bits) bits).
 # ---------------------------------------------------------------------------
 
 Q4_BLOCK = 128
-QN_BITS = (4, 5, 6)
+QN_BITS = (2, 3, 4, 5, 6)
 
 
 def qn_bytes(samples: int, bits: int) -> int:
