@@ -347,7 +347,7 @@ def measure_raw_link_mb_s(mb=32):
 
 
 def gated_headline_draws(engine, wiresets, names, stage,
-                         prepare_alternates=None):
+                         alternates_iter=None):
     """Headline draws with probe-gated scheduling and PHASE-ADAPTIVE
     wire selection (resident mode).
 
@@ -364,10 +364,15 @@ def gated_headline_draws(engine, wiresets, names, stage,
     unconditional on the primary; after that a full pass is spent only
     when the prediction beats the best draw so far, except for a
     reality-check draw when the gate has skipped for
-    ``REALITY_CHECK_S`` seconds.  ``prepare_alternates`` (optional,
-    called once, after the unconditional draws) lazily writes + warms
-    the alternate wires' corpora and returns their wiresets — the
-    primary's first timed draw must not wait behind them.
+    ``REALITY_CHECK_S`` seconds.  ``alternates_iter`` (optional
+    iterator) lazily yields ``(wire, wireset)`` pairs, ONE alternate's
+    corpus write + warm per ``next()``.  The gate advances it one step
+    per slot in which the primary is losing the phase anyway (the skip
+    branch) — slow phases are exactly where the narrow wires win, so
+    prep time lands where its result is useful, and neither the
+    primary's first timed draws nor a fast-phase window ever waits
+    behind the WHOLE alternate set (the old one-shot contract blocked
+    the loop for every wire back-to-back).
 
     The probe-phase history is returned SEPARATELY (size-tagged
     ``(size_mb, bw)`` pairs) and goes to stderr only — round 3's
@@ -409,12 +414,6 @@ def gated_headline_draws(engine, wiresets, names, stage,
         wire = primary
         forced_draw = False
         if i >= 2:
-            if prepare_alternates is not None:
-                new = prepare_alternates()
-                for w, ws in new.items():
-                    wiresets.setdefault(w, ws)
-                    fixed_obs.setdefault(w, [])
-                prepare_alternates = None
             probe_bw = measure_raw_link_mb_s(PROBE_MB)
             probes.append((PROBE_MB, round(probe_bw, 1)))
             if probe_bw >= RAMP_ESCALATE_MB_S:
@@ -438,6 +437,18 @@ def gated_headline_draws(engine, wiresets, names, stage,
                 if w != primary and est[w] < est[wire] * AUTO_MARGIN:
                     wire = w
             if est[wire] >= min(times) * 0.98:
+                if alternates_iter is not None:
+                    # the primary is losing this phase: spend the slot
+                    # preparing ONE more alternate wire (corpus write +
+                    # warm) instead of sleeping
+                    nxt = next(alternates_iter, None)
+                    if nxt is None:
+                        alternates_iter = None
+                    else:
+                        w2, ws2 = nxt
+                        wiresets.setdefault(w2, ws2)
+                        fixed_obs.setdefault(w2, [])
+                        continue   # re-probe: phase may have moved
                 if _now() - last_draw < REALITY_CHECK_S:
                     _sleep(GATE_SLEEP_S)
                     continue
@@ -681,27 +692,25 @@ def main():
         stage(f'raw link probe: {raw_before:.0f} MB/s')
         wiresets = {PRIMARY_WIRE: (paths, read, padded_bytes(sample))}
 
-        def prepare_alternates():
-            # called by the gate ONCE, after the unconditional draws:
-            # write + warm the alternate wires so phase-adaptive draws
-            # can use them.  Runs during gate time on purpose — the
-            # primary's first draws must not wait behind ~1 GB of
-            # alternate-corpus writes.
-            out = {}
+        def alternate_steps():
+            # generator consumed by the gate ONE wire per skip slot
+            # (see gated_headline_draws): each next() writes + warms a
+            # single alternate so phase-adaptive draws can use it —
+            # the primary's draws never wait behind the whole set of
+            # ~1 GB alternate-corpus writes and tunnel-bound warms.
             if WIRE != 'auto':
-                return out
+                return
             for w in AUTO_WIRES[1:]:
                 p2, r2 = build_corpus(w)
                 s2 = r2(p2[0])
                 engine.warmup_resident(N_CLIPS, s2.shape[0], s2.dtype,
                                        THREADS)
                 stage(f'{w} alternate ready (files + warm)')
-                out[w] = (p2, r2, padded_bytes(s2))
-            return out
+                yield w, (p2, r2, padded_bytes(s2))
 
         times, tels, draw_wires, events, gate_probes = \
             gated_headline_draws(engine, wiresets, names, stage,
-                                 prepare_alternates)
+                                 alternate_steps())
         # full phase history goes to stderr ONLY: inlining it into
         # the headline telemetry made round 3's official record
         # unparseable (driver tail window lost the line start)

@@ -333,17 +333,57 @@ def test_adaptive_gate_picks_narrow_wire_at_slow_phase(bench,
     prepared = []
 
     def prepare():
+        # iterator contract: one alternate per next(), advanced only in
+        # slots where the primary is losing the phase (the skip branch)
         prepared.append(True)
-        return {'adpcm4': ws['adpcm4']}
+        yield 'adpcm4', ws['adpcm4']
 
     times, tels, wires_d, events, probes = bench.gated_headline_draws(
         None, {'q6': ws['q6']}, None, lambda m: None,
-        prepare_alternates=prepare)
+        alternates_iter=prepare())
     assert wires_d[:2] == ['q6', 'q6']          # unconditional primary
     assert prepared == [True]                   # lazily, exactly once
     assert set(wires_d[2:]) == {'adpcm4'}       # slow phase -> narrow
     assert min(times[2:]) < min(times[:2])      # and it IS faster
     assert all(t.get('wire') in ('q6', 'adpcm4') for t in tels)
+
+
+def test_alternates_prepared_one_per_skip_slot(bench, monkeypatch):
+    """The gate advances the alternates iterator ONE wire per skip
+    slot, interleaved with probes — a fast-phase probe draws the
+    primary immediately instead of waiting behind the remaining
+    alternates (the old one-shot contract blocked the loop for every
+    alternate's corpus write + warm back-to-back)."""
+    ws = _ws(bench, adpcm4=167, q3=127)
+    # unconditional draws ride the initial 50 MB/s; the first gated
+    # probe escalates into a 1000 MB/s fast window (primary must draw
+    # immediately, alternates still unprepared); later probes read 20
+    state = _stub_adaptive(bench, monkeypatch,
+                           [50.0, 1000.0, 1000.0, 20.0], ws,
+                           max_repeats=4)
+    # the slow tail never draws again: bound the hunt so the gate's
+    # post-exhaustion sleep loop terminates under the simulated clock,
+    # and disable the decisive-win early stop (the 1.25 s fast draw
+    # would otherwise end the hunt before any alternate is prepared)
+    monkeypatch.setattr(bench, 'WALL_BUDGET', 200.0)
+    monkeypatch.setattr(bench, 'TARGET_CLIPS_S', 1e12)
+    order = []
+
+    def alts():
+        for w in ('adpcm4', 'q3'):
+            order.append((w, state['probes']))
+            yield w, ws[w]
+
+    times, tels, wires_d, events, probes = bench.gated_headline_draws(
+        None, {'q6': ws['q6']}, None, lambda m: None,
+        alternates_iter=alts())
+    # the fast-phase draw ran on the primary BEFORE any alternate was
+    # prepared (the iterator had not been advanced yet)
+    assert wires_d[2] == 'q6'
+    assert order and order[0][1] >= 3
+    # both alternates were then prepared, one per skip slot each
+    assert [w for w, _ in order] == ['adpcm4', 'q3']
+    assert order[1][1] > order[0][1]
 
 
 def test_adaptive_gate_keeps_primary_at_fast_phase(bench, monkeypatch):
