@@ -157,7 +157,11 @@ SECONDARY_REPEATS = int(os.environ.get('BENCH_SECONDARY_REPEATS', '2'))
 # exact-parity q6 container at fast phases, narrower q5/adpcm4 where
 # bytes dominate (slow phases).  A named wire pins the headline to it.
 WIRE = os.environ.get('BENCH_WIRE', 'auto')
-AUTO_WIRES = os.environ.get('BENCH_AUTO_WIRES', 'q6,q5,adpcm4').split(',')
+# order = alternate PREP priority under the one-per-skip-slot scheme:
+# adpcm4 (41 KB/clip) dominates q5 (51 KB) on bytes with comparable
+# fixed overhead since the blocked device decode landed, so it arms
+# first; q5 remains as the milder-loss middle step
+AUTO_WIRES = os.environ.get('BENCH_AUTO_WIRES', 'q6,adpcm4,q5').split(',')
 PRIMARY_WIRE = AUTO_WIRES[0] if WIRE == 'auto' else WIRE
 # a narrower (lossier) wire must be predicted at least this much faster
 # (ratio) than the primary to displace it — quality tie-break
@@ -347,7 +351,7 @@ def measure_raw_link_mb_s(mb=32):
 
 
 def gated_headline_draws(engine, wiresets, names, stage,
-                         alternates_iter=None):
+                         pending=None):
     """Headline draws with probe-gated scheduling and PHASE-ADAPTIVE
     wire selection (resident mode).
 
@@ -364,15 +368,20 @@ def gated_headline_draws(engine, wiresets, names, stage,
     unconditional on the primary; after that a full pass is spent only
     when the prediction beats the best draw so far, except for a
     reality-check draw when the gate has skipped for
-    ``REALITY_CHECK_S`` seconds.  ``alternates_iter`` (optional
-    iterator) lazily yields ``(wire, wireset)`` pairs, ONE alternate's
-    corpus write + warm per ``next()``.  The gate advances it one step
-    per slot in which the primary is losing the phase anyway (the skip
-    branch) — slow phases are exactly where the narrow wires win, so
-    prep time lands where its result is useful, and neither the
-    primary's first timed draws nor a fast-phase window ever waits
-    behind the WHOLE alternate set (the old one-shot contract blocked
-    the loop for every wire back-to-back).
+    ``REALITY_CHECK_S`` seconds.
+
+    ``pending`` (optional) maps NOT-yet-prepared alternate wires to
+    ``(bytes_h2d, prepare_fn)``: their byte counts are knowable from
+    one zero-clip encode, so they join the per-phase prediction
+    immediately, but their corpus write + tunnel-bound warm
+    (``prepare_fn() -> wireset``, 12 s–minutes) is spent ONLY the
+    first time the prediction says the wire would win a draw that
+    beats the best time so far.  A steady mid-speed phase therefore
+    arms exactly the wire that scores best there; a fast burst draws
+    the already-armed primary instantly; a dead phase prepares
+    nothing.  (Earlier contracts armed every alternate back-to-back —
+    blocking the loop for minutes — or only in skip slots, which never
+    fire in a steady mid phase where the narrow wire matters most.)
 
     The probe-phase history is returned SEPARATELY (size-tagged
     ``(size_mb, bw)`` pairs) and goes to stderr only — round 3's
@@ -430,25 +439,37 @@ def gated_headline_draws(engine, wiresets, names, stage,
             bw_bytes = max(probe_bw, 1e-3) * 2**20
             est = {w: wiresets[w][2] / bw_bytes + fixed_for(w)
                    for w in wiresets}
+            if pending:
+                est.update({w: pending[w][0] / bw_bytes + fixed_for(w)
+                            for w in pending})
             # phase-adaptive wire: a narrower (lossier) wire must beat
             # the primary's prediction by AUTO_MARGIN to displace it
             wire = primary
-            for w in wiresets:
+            for w in est:
                 if w != primary and est[w] < est[wire] * AUTO_MARGIN:
                     wire = w
+            if (pending and wire in pending
+                    and est[wire] < min(times) * 0.98):
+                # the winning wire is unprepared AND would beat the
+                # best draw at this phase: spend the write + warm now
+                # (the only moment prep can improve the headline),
+                # then re-probe — the phase may have moved meanwhile
+                bytes_w, prep = pending.pop(wire)
+                stage(f'arming {wire} (predicted {est[wire]:.2f}s vs '
+                      f'{primary} {est[primary]:.2f}s at '
+                      f'{probe_bw:.0f} MB/s)')
+                wiresets[wire] = prep()
+                fixed_obs.setdefault(wire, [])
+                continue
+            if wire in (pending or ()):
+                # unprepared wire won the prediction but would not
+                # beat the best draw: fall back to the best PREPARED
+                # wire for the skip decision / reality check
+                wire = primary
+                for w in wiresets:
+                    if w != primary and est[w] < est[wire] * AUTO_MARGIN:
+                        wire = w
             if est[wire] >= min(times) * 0.98:
-                if alternates_iter is not None:
-                    # the primary is losing this phase: spend the slot
-                    # preparing ONE more alternate wire (corpus write +
-                    # warm) instead of sleeping
-                    nxt = next(alternates_iter, None)
-                    if nxt is None:
-                        alternates_iter = None
-                    else:
-                        w2, ws2 = nxt
-                        wiresets.setdefault(w2, ws2)
-                        fixed_obs.setdefault(w2, [])
-                        continue   # re-probe: phase may have moved
                 if _now() - last_draw < REALITY_CHECK_S:
                     _sleep(GATE_SLEEP_S)
                     continue
@@ -692,25 +713,30 @@ def main():
         stage(f'raw link probe: {raw_before:.0f} MB/s')
         wiresets = {PRIMARY_WIRE: (paths, read, padded_bytes(sample))}
 
-        def alternate_steps():
-            # generator consumed by the gate ONE wire per skip slot
-            # (see gated_headline_draws): each next() writes + warms a
-            # single alternate so phase-adaptive draws can use it —
-            # the primary's draws never wait behind the whole set of
-            # ~1 GB alternate-corpus writes and tunnel-bound warms.
-            if WIRE != 'auto':
-                return
-            for w in AUTO_WIRES[1:]:
+        def make_prepare(w):
+            def prep():
                 p2, r2 = build_corpus(w)
                 s2 = r2(p2[0])
                 engine.warmup_resident(N_CLIPS, s2.shape[0], s2.dtype,
                                        THREADS)
                 stage(f'{w} alternate ready (files + warm)')
-                yield w, (p2, r2, padded_bytes(s2))
+                return (p2, r2, padded_bytes(s2))
+            return prep
+
+        # alternate wires join the gate's per-phase prediction by BYTE
+        # COUNT immediately (one zero-clip encode); their corpus write
+        # + tunnel-bound warm is deferred until the first phase where
+        # the prediction says the wire would win a headline draw (see
+        # gated_headline_draws)
+        pending = {}
+        if WIRE == 'auto':
+            for w in AUTO_WIRES[1:]:
+                row = encode_wire(np.zeros((1, sr * 5), np.float32), w)[0]
+                pending[w] = (padded_bytes(row), make_prepare(w))
 
         times, tels, draw_wires, events, gate_probes = \
             gated_headline_draws(engine, wiresets, names, stage,
-                                 alternate_steps())
+                                 pending)
         # full phase history goes to stderr ONLY: inlining it into
         # the headline telemetry made round 3's official record
         # unparseable (driver tail window lost the line start)

@@ -333,14 +333,14 @@ def test_adaptive_gate_picks_narrow_wire_at_slow_phase(bench,
     prepared = []
 
     def prepare():
-        # iterator contract: one alternate per next(), advanced only in
-        # slots where the primary is losing the phase (the skip branch)
+        # pending contract: the write + warm runs the first time the
+        # prediction says this wire would win a headline draw
         prepared.append(True)
-        yield 'adpcm4', ws['adpcm4']
+        return ws['adpcm4']
 
     times, tels, wires_d, events, probes = bench.gated_headline_draws(
         None, {'q6': ws['q6']}, None, lambda m: None,
-        alternates_iter=prepare())
+        pending={'adpcm4': (ws['adpcm4'][2], prepare)})
     assert wires_d[:2] == ['q6', 'q6']          # unconditional primary
     assert prepared == [True]                   # lazily, exactly once
     assert set(wires_d[2:]) == {'adpcm4'}       # slow phase -> narrow
@@ -348,42 +348,37 @@ def test_adaptive_gate_picks_narrow_wire_at_slow_phase(bench,
     assert all(t.get('wire') in ('q6', 'adpcm4') for t in tels)
 
 
-def test_alternates_prepared_one_per_skip_slot(bench, monkeypatch):
-    """The gate advances the alternates iterator ONE wire per skip
-    slot, interleaved with probes — a fast-phase probe draws the
-    primary immediately instead of waiting behind the remaining
-    alternates (the old one-shot contract blocked the loop for every
-    alternate's corpus write + warm back-to-back)."""
-    ws = _ws(bench, adpcm4=167, q3=127)
-    # unconditional draws ride the initial 50 MB/s; the first gated
-    # probe escalates into a 1000 MB/s fast window (primary must draw
-    # immediately, alternates still unprepared); later probes read 20
+def test_pending_wire_armed_only_when_it_would_win(bench, monkeypatch):
+    """A pending (unprepared) wire joins the prediction by byte count
+    but its expensive write + warm must NOT run at fast phases (the
+    primary wins there) nor at slow phases that cannot beat the best
+    draw (arming cannot improve the headline); forced reality-check
+    draws at such phases fall back to the best PREPARED wire instead
+    of crashing on the unprepared one."""
+    ws = _ws(bench, adpcm4=167)
+    # unconditional draws ride a 1000 MB/s burst (best = 1.25 s); the
+    # first gated probe escalates and stays fast; later probes read 20
+    # (slow — adpcm4 predicts better than q6 but can't beat 1.25 s)
     state = _stub_adaptive(bench, monkeypatch,
-                           [50.0, 1000.0, 1000.0, 20.0], ws,
-                           max_repeats=4)
-    # the slow tail never draws again: bound the hunt so the gate's
-    # post-exhaustion sleep loop terminates under the simulated clock,
-    # and disable the decisive-win early stop (the 1.25 s fast draw
-    # would otherwise end the hunt before any alternate is prepared)
-    monkeypatch.setattr(bench, 'WALL_BUDGET', 200.0)
+                           [1000.0, 1000.0, 1000.0, 20.0], ws,
+                           max_repeats=4, reality_s=0.0)
     monkeypatch.setattr(bench, 'TARGET_CLIPS_S', 1e12)
-    order = []
+    prepared = []
 
-    def alts():
-        for w in ('adpcm4', 'q3'):
-            order.append((w, state['probes']))
-            yield w, ws[w]
+    def prepare():
+        prepared.append(True)
+        return ws['adpcm4']
 
     times, tels, wires_d, events, probes = bench.gated_headline_draws(
         None, {'q6': ws['q6']}, None, lambda m: None,
-        alternates_iter=alts())
-    # the fast-phase draw ran on the primary BEFORE any alternate was
-    # prepared (the iterator had not been advanced yet)
-    assert wires_d[2] == 'q6'
-    assert order and order[0][1] >= 3
-    # both alternates were then prepared, one per skip slot each
-    assert [w for w, _ in order] == ['adpcm4', 'q3']
-    assert order[1][1] > order[0][1]
+        pending={'adpcm4': (ws['adpcm4'][2], prepare)})
+    # never armed: the fast phase didn't need it, the slow phase
+    # couldn't beat the burst-time best with it
+    assert prepared == []
+    # every draw (incl. forced reality checks at the slow tail) used
+    # the prepared primary
+    assert set(wires_d) == {'q6'}
+    assert len(times) == 4
 
 
 def test_adaptive_gate_keeps_primary_at_fast_phase(bench, monkeypatch):
