@@ -30,7 +30,10 @@ Configuration (env vars):
                             slow phases where bytes dominate.  The
                             headline names the wire that actually won.
   BENCH_AUTO_WIRES          auto-mode candidates, primary first
-                            (default q6,q5,adpcm4)
+                            (default q6,adpcm4,q5); alternates join
+                            the gate's prediction by byte count at
+                            once but are written + warmed only when
+                            predicted to win a draw
   BENCH_AUTO_MARGIN         a narrower lossier wire must be predicted
                             at least this ratio faster than the
                             primary to displace it (default 0.92)
