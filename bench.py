@@ -492,6 +492,17 @@ def gated_headline_draws(engine, wiresets, names, stage,
             # wait may surface in the pull)
             deadline = max(ABORT_FACTOR * est[wire],
                            est[wire] + ABORT_SLACK_S)
+            # FUTILITY CUT (20 Aug, after the corpus-scaling A/B): the
+            # headline is best-of-draws and the link swings minute to
+            # minute, so the hunt's yield is tail SAMPLES per budget.
+            # Once a gated draw outlives the best time it cannot
+            # improve the headline — cap its deadline just above
+            # min(times) (5% + 1 s of pull-noise slack; approval
+            # required est < min*0.98, so the cap never precedes the
+            # prediction) and spend the reclaimed budget on more draws.
+            deadline = min(deadline,
+                           max(min(times) * 1.05 + 1.0,
+                               est[wire] + 1.0))
         t0 = _now()
         try:
             ev, _ = run_pass(engine, paths, read, names, tel,

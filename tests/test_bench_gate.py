@@ -483,3 +483,48 @@ def test_reality_check_draw_runs_without_deadline(bench, monkeypatch):
         None, ws, None, lambda m: None)
     assert len(times) == 4
     assert state['deadlines'] == [None] * 4
+
+
+def test_futility_cut_caps_gate_deadline_at_best_time(bench, monkeypatch):
+    """A gated draw's abort deadline must be capped just above the best
+    recorded time: once a draw outlives min(times) it cannot improve
+    the best-of-draws headline, so dragging it to 3x the prediction
+    only burns draw budget (the corpus-scaling A/B showed hunt yield =
+    tail samples per budget; BENCHMARKS.md 20 Aug)."""
+    ws = _ws(bench)
+    state = {'t': 1000.0, 'deadlines': [], 'bw': 20.0}
+
+    def fake_now():
+        state['t'] += 1e-4
+        return state['t']
+
+    def fake_probe(mb=8):
+        state['bw'] = 50.0
+        return state['bw']
+
+    def fake_pass(engine, paths, read, names, tel=None,
+                  upload_deadline_s=None):
+        state['deadlines'].append(upload_deadline_s)
+        state['t'] += 250.0 / state['bw'] + 1.0
+        return {'clip': []}, []
+
+    monkeypatch.setattr(bench, '_now', fake_now)
+    monkeypatch.setattr(bench, '_sleep', lambda s: None)
+    monkeypatch.setattr(bench, 'measure_raw_link_mb_s', fake_probe)
+    monkeypatch.setattr(bench, 'run_pass', fake_pass)
+    monkeypatch.setattr(bench, 'MAX_REPEATS', 3)
+    monkeypatch.setattr(bench, 'REALITY_CHECK_S', 1e9)
+    times, _, _, _, _ = bench.gated_headline_draws(
+        None, ws, None, lambda m: None)
+    # draws 0-1 unconditional at 20 MB/s (~13.5 s each, undeadlined);
+    # the gated draw was approved at 50 MB/s (est ~6.2 s) — its
+    # deadline is capped just above the 13.5 s best, well under the
+    # 3x-est dead-phase bail (~18.6 s)
+    assert state['deadlines'][:2] == [None, None]
+    d = state['deadlines'][2]
+    best = min(times[:2])
+    assert d is not None
+    assert d <= best * 1.05 + 1.0 + 1e-6
+    assert d < bench.ABORT_FACTOR * 6.3
+    # the (fast) draw itself completed and recorded
+    assert len(times) == 3 and times[2] < best
