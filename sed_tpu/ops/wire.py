@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from sed_tpu.data import audio_io
 
-__all__ = ['dequant_wire', 'wire_widths']
+__all__ = ['dequant_wire', 'wire_widths', 'dequant_v6_pool']
 
 
 def wire_widths(samples: int) -> dict:
@@ -343,3 +343,120 @@ def _adpcm_decode(wav, samples: int, group: int = 24):
     out = jnp.concatenate([pred0[:, None], preds], axis=1)  # (L, spb)
     out = out.reshape(b, nbl * spb)[:, :samples]
     return out.astype(jnp.float32) / 32768.0
+
+
+# ---------------------------------------------------------------------------
+# v6 ragged wire: device decode of the lossless variable-rate q6 re-pack
+# (`audio_io.v6_encode_clip` format doc).  Unlike the fixed-width wires
+# above, v6 clips have DIFFERENT byte lengths, so a batch arrives as one
+# flat little-endian word pool plus per-clip word offsets (the ragged
+# resident path uploads only the true bytes; the fixed-shape gather to
+# the worst-case width happens on device, off the wire).
+# ---------------------------------------------------------------------------
+
+
+def _words_to_bytes(w):
+    """int32 words (..., W) -> little-endian int32 bytes (..., 4W)."""
+    by = jnp.stack([w & 0xFF, (w >> 8) & 0xFF,
+                    (w >> 16) & 0xFF, (w >> 24) & 0xFF], axis=-1)
+    return by.reshape(w.shape[:-1] + (w.shape[-1] * 4,))
+
+
+def _unpack_subgroup(data, w):
+    """(..., G, 4w) uint8-valued int32 -> (..., G, 32) codes at width w
+    (big-endian bitstream; the qN static-slice formulation at sub-group
+    granularity: sample bit offsets repeat every lcm(8, w) bits)."""
+    gbytes = w // math.gcd(8, w)
+    gsamples = gbytes * 8 // w
+    lead = data.shape[:-1]
+    groups = data.reshape(lead + (4 * w // gbytes, gbytes))
+    parts = []
+    for k in range(gsamples):
+        j = (k * w) >> 3
+        sh = 16 - w - ((k * w) & 7)
+        hi = groups[..., j]
+        lo = groups[..., min(j + 1, gbytes - 1)]
+        parts.append((((hi << 8) | lo) >> sh) & ((1 << w) - 1))
+    return jnp.stack(parts, axis=-1).reshape(lead + (32,))
+
+
+def dequant_v6_pool(pool, offsets, samples: int):
+    """Decode a batch of v6 clips from a flat word pool.
+
+    ``pool``: (P,) int32 — concatenated per-clip v6 payloads (each a
+    multiple of 16 bytes, little-endian), plus >= v6_header_bytes of
+    zero tail so padding clips (offset pointing at the tail) decode to
+    silence.  ``offsets``: (B,) int32 WORD offset of each clip's
+    payload.  Returns (B, samples) float32, bit-identical to
+    ``audio_io.v6_decode_np`` per clip (which is bit-identical to the
+    q6 wire's decode).
+
+    All device work is fixed-shape: one header gather, one worst-case
+    data-word gather at cumsum(width) offsets, six static-slice
+    sub-group unpacks, and a 128-step unified-predictor ``lax.scan``
+    vectorized over every (clip, block) lane (order-3's rounding shift
+    makes the recurrence non-associative, so the prefix tricks used for
+    ADPCM above do not apply; the scan is short and lane-parallel).
+    """
+    from sed_tpu.data import audio_io
+    nb = samples // audio_io.Q4_BLOCK
+    nsub = nb * 4
+    hw = audio_io.v6_header_bytes(nb) // 4
+    b = offsets.shape[0]
+    pmax = pool.shape[0] - 1
+
+    # header: one contiguous gather, then byte fields
+    hidx = jnp.clip(offsets[:, None] + jnp.arange(hw)[None, :], 0, pmax)
+    hby = _words_to_bytes(jnp.take(pool, hidx))          # (B, hw*4)
+    scale_u16 = (hby[:, 0:2 * nb:2]
+                 | (hby[:, 1:2 * nb:2] << 8)).astype(jnp.uint16)
+    scale = jax.lax.bitcast_convert_type(
+        scale_u16, jnp.float16).astype(jnp.float32)      # (B, nb)
+    mode = (hby[:, 2 * nb:4 * nb:2]
+            | (hby[:, 2 * nb + 1:4 * nb:2] << 8))        # (B, nb)
+    order = mode & 3
+
+    def _i8(v):
+        return ((v + 128) & 255) - 128
+
+    init1 = _i8(hby[:, 4 * nb:5 * nb])
+    init2 = _i8(hby[:, 5 * nb:6 * nb])
+    coef = _i8(hby[:, 6 * nb:7 * nb])
+
+    widths = jnp.stack([(mode >> (2 + 3 * g)) & 7 for g in range(4)],
+                       axis=-1).reshape(b, nsub)          # (B, nsub)
+    # sub-group data = width words each; offsets by exclusive prefix
+    doff = (offsets[:, None] + hw
+            + jnp.cumsum(widths, axis=1) - widths)        # (B, nsub)
+    didx = jnp.clip(doff[:, :, None] + jnp.arange(6)[None, None, :],
+                    0, pmax)
+    dby = _words_to_bytes(jnp.take(pool, didx))           # (B, nsub, 24)
+
+    r = jnp.zeros((b, nsub, 32), jnp.int32)
+    for w in range(1, 7):
+        codes = _unpack_subgroup(dby[:, :, :4 * w], w)
+        r = jnp.where((widths == w)[:, :, None],
+                      codes - (1 << (w - 1)), r)
+    r = r.reshape(b, nb, audio_io.Q4_BLOCK)
+
+    # unified predictor recurrence, one scan over the 128 in-block
+    # steps, vectorized over (clip, block) lanes
+    lanes = b * nb
+    rT = r.reshape(lanes, audio_io.Q4_BLOCK).T            # (T, L)
+    orderL = order.reshape(lanes)
+    coefL = coef.reshape(lanes)
+
+    def step(carry, rt):
+        qp, qp2 = carry
+        pred = jnp.select(
+            [orderL == 1, orderL == 2, orderL == 3],
+            [qp, 2 * qp - qp2, ((coefL * qp + 16) >> 5) - qp2], 0)
+        q = rt + pred
+        return (q, qp), q
+
+    _, qT = jax.lax.scan(step,
+                         (init1.reshape(lanes), init2.reshape(lanes)),
+                         rT, unroll=8)
+    q = qT.T.reshape(b, nb, audio_io.Q4_BLOCK)
+    return (q.astype(jnp.float32) * scale[:, :, None]).reshape(
+        b, samples)
