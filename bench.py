@@ -157,14 +157,82 @@ SECONDARY_REPEATS = int(os.environ.get('BENCH_SECONDARY_REPEATS', '2'))
 # BENCH_WIRE=auto (default): phase-adaptive wire selection — the gate
 # probes the link before each draw and picks the wire whose predicted
 # pass time (bytes/bw + learned fixed overhead) wins THIS phase: the
-# exact-parity q6 container at fast phases, narrower q5/adpcm4 where
-# bytes dominate (slow phases).  A named wire pins the headline to it.
+# exact-parity q6 container at fast phases, narrower ADMITTED wires
+# where bytes dominate (slow phases).  A named wire pins the headline
+# to it (explicit operator override; the admission status still rides
+# the headline JSON).
 WIRE = os.environ.get('BENCH_WIRE', 'auto')
-# order = alternate PREP priority under the one-per-skip-slot scheme:
-# adpcm4 (41 KB/clip) dominates q5 (51 KB) on bytes with comparable
-# fixed overhead since the blocked device decode landed, so it arms
-# first; q5 remains as the milder-loss middle step
-AUTO_WIRES = os.environ.get('BENCH_AUTO_WIRES', 'q6,adpcm4,q5').split(',')
+# ACCURACY ADMISSION (round-4 verdict #1): auto mode may only draw
+# wires whose measured segment-based ER/F1 delta vs the int16 decode
+# is <= 0.5% on >= 256 hardened-corpus clips — the BASELINE.json
+# contract ("ER/F1 within 0.5% of the reference").  The table is
+# measured by tools/wire_admission.py against the trained bench
+# checkpoint and committed as tools/wire_admission.json; throughput
+# bought with accuracy never fronts the headline again.
+ADMISSION_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), 'tools',
+    'wire_admission.json')
+
+
+def load_wire_admission(path=ADMISSION_PATH):
+    """-> (admitted wire-name set, full table).  int16 is admitted by
+    definition (it IS the parity baseline)."""
+    with open(path) as f:
+        table = json.load(f)
+    admitted = {'int16'} | {w for w, r in table['wires'].items()
+                            if r.get('admitted')}
+    return admitted, table
+
+
+def resolve_auto_wires(spec: str, admitted) -> list:
+    """Expand BENCH_AUTO_WIRES: 'admitted' -> q6 first (exact-parity
+    primary) + every other admitted wire, narrowest-first (arming
+    priority = byte savings).  An explicit list is FILTERED by the
+    admission table — a non-admitted wire cannot ride auto mode."""
+    from sed_tpu.data import audio_io
+    samples = 16000 * 5
+
+    def bytes_of(w):
+        if w == 'v6':
+            # variable-rate: use the admission run's measured mean when
+            # present, else q6 minus the measured typical margin
+            meas = (ADMISSION_TABLE.get('wires', {}).get('v6', {})
+                    if 'ADMISSION_TABLE' in globals() else {})
+            return int(meas.get('bytes_per_clip')
+                       or 0.97 * audio_io.qn_bytes(samples, 6))
+        if w.startswith('q') and w[1:].isdigit():
+            return audio_io.qn_bytes(samples, int(w[1:]))
+        return {'adpcm4': audio_io.adpcm_bytes(samples),
+                'mulaw8': samples, 'int16': 2 * samples}.get(w, 1 << 30)
+
+    if spec == 'admitted':
+        rest = sorted((w for w in admitted if w not in ('q6', 'int16')),
+                      key=bytes_of)
+        return ['q6'] + rest if 'q6' in admitted else ['int16']
+    wires = [w for w in spec.split(',') if w]
+    dropped = [w for w in wires if w not in admitted]
+    if dropped:
+        print(f'# admission gate: dropping non-admitted wires {dropped} '
+              f'from AUTO_WIRES (tools/wire_admission.json)',
+              file=sys.stderr)
+    kept = [w for w in wires if w in admitted]
+    if not kept:
+        raise SystemExit('BENCH_AUTO_WIRES has no admitted wire left; '
+                         'run tools/wire_admission.py or name a wire '
+                         'explicitly via BENCH_WIRE')
+    return kept
+
+
+if WIRE == 'auto':
+    ADMITTED_WIRES, ADMISSION_TABLE = load_wire_admission()
+    AUTO_WIRES = resolve_auto_wires(
+        os.environ.get('BENCH_AUTO_WIRES', 'admitted'), ADMITTED_WIRES)
+else:
+    try:
+        ADMITTED_WIRES, ADMISSION_TABLE = load_wire_admission()
+    except OSError:
+        ADMITTED_WIRES, ADMISSION_TABLE = {'int16'}, {'wires': {}}
+    AUTO_WIRES = [WIRE]
 PRIMARY_WIRE = AUTO_WIRES[0] if WIRE == 'auto' else WIRE
 # a narrower (lossier) wire must be predicted at least this much faster
 # (ratio) than the primary to displace it — quality tie-break
@@ -195,54 +263,39 @@ BASELINE_CLIPS_PER_SEC = 21.0
 CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'tools',
                     'bench_checkpoint.npz')
 
-def _bands():
-    # the trained checkpoint's class tone bands — import from the tool
-    # that trained it so bench clips always match the checkpoint
+def _corpus():
+    # the hardened corpus module is shared with the checkpoint trainer
+    # (tools/make_bench_checkpoint.py) so bench clips always match what
+    # the checkpoint was trained on
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), 'tools'))
-    from synthetic_learning_check import BANDS as bands
-    return bands
+    import bench_corpus
+    return bench_corpus
 
 
-BANDS = _bands()
+_bc = _corpus()
+BANDS = _bc.BANDS
 
 
-def make_test_clips(n, sr, seconds=5, seed=0):
-    """Synthetic clips with tone bursts + noise drawn from the trained
-    model's class bands, so event decoding does real work.  Vectorized
-    in small CHUNKS (f32 noise + narrow-range per-burst sine): one
-    giant (n, 80000) allocation measured pathologically slow on this
-    host (multi-GB first-touch working sets), while ~256-clip chunks
-    keep the working set cache-sized — the first TIMED pass should
-    start as soon after process launch as possible to sample the
-    launch-time link phase."""
-    rng = np.random.RandomState(seed)
-    length = sr * seconds
-    gen = np.random.default_rng(seed)
-    t = np.arange(length) / sr
-    clips = np.empty((n, length), np.float32)
-    chunk = 256
-    for c0 in range(0, n, chunk):
-        c1 = min(c0 + chunk, n)
-        clips[c0:c1] = (gen.random((c1 - c0, length),
-                                   dtype=np.float32) - 0.5) * 0.1
-        for i in range(c0, c1):
-            for _ in range(rng.randint(1, 3)):
-                f0 = rng.uniform(*BANDS[rng.randint(len(BANDS))])
-                s = rng.uniform(0, 3.0)
-                e = s + rng.uniform(1.0, 2.0)
-                i0, i1 = int(s * sr), min(int(e * sr) + 1, length)
-                clips[i, i0:i1] += 0.4 * np.sin(
-                    2 * np.pi * f0 * t[i0:i1]).astype(np.float32)
-    return clips
+def make_test_clips(n, sr, seconds=5, seed=0, return_events=False):
+    """Hardened synthetic bench corpus (tools/bench_corpus.py): six
+    event classes (tones, AM, chirp, noise burst, near-Nyquist tone)
+    freely overlapping over diverse colored/white/near-silent
+    backgrounds, with ground-truth strong labels available for the
+    wire-admission gate.  Chunked generation (one giant allocation
+    measured pathologically slow on this host, BENCHMARKS.md)."""
+    return _bc.make_clips(n, sr, seconds=seconds, seed=seed,
+                          return_events=return_events)
 
 
 def write_wire_files(clips, sr, wire, tmpdir):
     """Write one file per clip in the given wire format; returns
-    (paths, reader) where reader(path) -> (codes/samples, ...)."""
+    (paths, reader) where reader(path) -> (codes/samples, ...).  For
+    the ragged v6 wire the reader carries ``reader.ragged = True`` and
+    run_pass routes through the engine's ragged resident path."""
     from sed_tpu.data import audio_io
     qbits = int(wire[1]) if wire.startswith('q') else None
-    ext = wire if qbits else 'wav'
+    ext = wire if qbits or wire == 'v6' else 'wav'
     paths = []
     n = clips.shape[0]
     # NOTE: qN encode stays PER-CLIP on purpose — save_qn's ~1.5 MB
@@ -251,7 +304,9 @@ def write_wire_files(clips, sr, wire, tmpdir):
     # pathology note)
     for i in range(n):
         p = os.path.join(tmpdir, f'{wire}_clip{i:05d}.{ext}')
-        if qbits:
+        if wire == 'v6':
+            audio_io.save_v6(p, clips[i], sr)
+        elif qbits:
             audio_io.save_qn(p, clips[i], sr, qbits)
         elif wire == 'mulaw8':
             audio_io.save_wav_mulaw(p, clips[i], sr)
@@ -260,7 +315,10 @@ def write_wire_files(clips, sr, wire, tmpdir):
         else:
             audio_io.save_wav(p, clips[i], sr)
         paths.append(p)
-    if qbits:
+    if wire == 'v6':
+        read = lambda p: audio_io.read_v6(p)[0]            # noqa: E731
+        read.ragged = True
+    elif qbits:
         read = lambda p: audio_io.read_qn(p)[0]            # noqa: E731
     elif wire in ('mulaw8', 'adpcm4'):
         # wire_reader_for sniffs the RIFF format tag (7 / 0x11)
@@ -273,6 +331,9 @@ def write_wire_files(clips, sr, wire, tmpdir):
 def encode_wire(clips, wire):
     """Host wire encode (only used for warmup buffers)."""
     from sed_tpu.data import audio_io
+    if wire == 'v6':
+        raise SystemExit('v6 is ragged (variable-rate): resident mode '
+                         'only — it has no fixed-width warm buffer')
     if wire == 'adpcm4':
         return audio_io.adpcm_encode(clips)
     if wire.startswith('q'):
@@ -544,11 +605,17 @@ def gated_headline_draws(engine, wiresets, names, stage,
 def run_pass(engine, paths, read, names, telemetry=None,
              upload_deadline_s=None):
     """One timed end-to-end pass: file read -> events/XML.  Resident
-    mode pipelines the file decode into the upload threads.
+    mode pipelines the file decode into the upload threads; ragged
+    readers (v6) route through the true-bytes pool path.
     ``upload_deadline_s`` (resident only): abandon the pass with
     LinkCollapseError if the uploads outlive it (mid-pass link
     collapse)."""
     if MODE == 'resident':
+        if getattr(read, 'ragged', False):
+            return engine.predict_files_resident_ragged(
+                paths, read, names=names, upload_threads=THREADS,
+                telemetry=telemetry,
+                upload_deadline_s=upload_deadline_s)
         return engine.predict_files_resident(
             paths, read, names=names, upload_threads=THREADS,
             telemetry=telemetry, upload_deadline_s=upload_deadline_s)
@@ -660,7 +727,7 @@ def main():
     # the wire's row width/dtype, knowable from one zero clip.
     warm_thread = None
     warm_errs: list = []
-    if MODE == 'resident':
+    if MODE == 'resident' and PRIMARY_WIRE != 'v6':
         import threading
         zero_row = encode_wire(np.zeros((1, sr * 5), np.float32),
                                PRIMARY_WIRE)
@@ -704,32 +771,55 @@ def main():
     raw_before = raw_after = None
     headline_wire = PRIMARY_WIRE
 
+    def ragged_bytes(v6_paths):
+        # true pool bytes + the offsets vector — exactly what the
+        # ragged pass ships (engine telemetry bytes_h2d parity)
+        from sed_tpu.data import audio_io
+        rows = -(-N_CLIPS // BATCH) * BATCH
+        return (sum(audio_io.v6_payload_bytes(p) for p in v6_paths)
+                + 4 * rows)
+
     paths, read = build_corpus(PRIMARY_WIRE)
     if MODE == 'resident':
-        sample = read(paths[0])
-        warm_thread.join()
-        if warm_errs:
-            raise warm_errs[0]
-        if (sample.shape[0] != zero_row.shape[1]
-                or sample.dtype != zero_row.dtype):
-            # the overlapped warm compiled the wrong resident program
-            # (width or dtype mismatch between encode_wire and the wire
-            # reader) — re-warm synchronously with the real sample
-            # instead of letting the compile land inside the first
-            # timed draw
-            stage(f'overlapped warm mismatch '
-                  f'({zero_row.shape[1]}/{zero_row.dtype} vs '
-                  f'{sample.shape[0]}/{sample.dtype}); re-warming')
-            engine.warmup_resident(N_CLIPS, sample.shape[0],
-                                   sample.dtype, THREADS)
-        stage(f'{PRIMARY_WIRE} warm')
+        from sed_tpu.data import audio_io as _aio
+        if PRIMARY_WIRE == 'v6':
+            # ragged primary: the pass shape depends on the actual
+            # payload sizes, so the warm could not overlap corpus setup
+            engine.warmup_resident_ragged(
+                [_aio.v6_payload_bytes(p) for p in paths], THREADS)
+            stage('v6 warm (ragged)')
+            primary_bytes = ragged_bytes(paths)
+        else:
+            sample = read(paths[0])
+            warm_thread.join()
+            if warm_errs:
+                raise warm_errs[0]
+            if (sample.shape[0] != zero_row.shape[1]
+                    or sample.dtype != zero_row.dtype):
+                # the overlapped warm compiled the wrong resident
+                # program (width or dtype mismatch between encode_wire
+                # and the wire reader) — re-warm synchronously with the
+                # real sample instead of letting the compile land
+                # inside the first timed draw
+                stage(f'overlapped warm mismatch '
+                      f'({zero_row.shape[1]}/{zero_row.dtype} vs '
+                      f'{sample.shape[0]}/{sample.dtype}); re-warming')
+                engine.warmup_resident(N_CLIPS, sample.shape[0],
+                                       sample.dtype, THREADS)
+            stage(f'{PRIMARY_WIRE} warm')
+            primary_bytes = padded_bytes(sample)
         raw_before = measure_raw_link_mb_s()
         stage(f'raw link probe: {raw_before:.0f} MB/s')
-        wiresets = {PRIMARY_WIRE: (paths, read, padded_bytes(sample))}
+        wiresets = {PRIMARY_WIRE: (paths, read, primary_bytes)}
 
         def make_prepare(w):
             def prep():
                 p2, r2 = build_corpus(w)
+                if w == 'v6':
+                    engine.warmup_resident_ragged(
+                        [_aio.v6_payload_bytes(p) for p in p2], THREADS)
+                    stage(f'{w} alternate ready (files + ragged warm)')
+                    return (p2, r2, ragged_bytes(p2))
                 s2 = r2(p2[0])
                 engine.warmup_resident(N_CLIPS, s2.shape[0], s2.dtype,
                                        THREADS)
@@ -738,13 +828,19 @@ def main():
             return prep
 
         # alternate wires join the gate's per-phase prediction by BYTE
-        # COUNT immediately (one zero-clip encode); their corpus write
-        # + tunnel-bound warm is deferred until the first phase where
-        # the prediction says the wire would win a headline draw (see
-        # gated_headline_draws)
+        # COUNT immediately (one zero-clip encode; v6's variable rate
+        # is estimated from a 64-clip corpus sample); their corpus
+        # write + tunnel-bound warm is deferred until the first phase
+        # where the prediction says the wire would win a headline draw
+        # (see gated_headline_draws)
         pending = {}
         if WIRE == 'auto':
             for w in AUTO_WIRES[1:]:
+                if w == 'v6':
+                    est = int(np.mean([len(_aio.v6_encode_clip(c))
+                                       for c in clips[:64]]))
+                    pending[w] = (est * N_CLIPS, make_prepare(w))
+                    continue
                 row = encode_wire(np.zeros((1, sr * 5), np.float32), w)[0]
                 pending[w] = (padded_bytes(row), make_prepare(w))
 
@@ -845,7 +941,9 @@ def main():
     clips_per_sec = round(N_CLIPS / elapsed, 1)
     n_events = sum(len(e) for e in events)
     qname = (f'{headline_wire} container'
-             if headline_wire.startswith('q') else f'{headline_wire} wav')
+             if headline_wire.startswith('q')
+             else 'v6 lossless ragged container' if headline_wire == 'v6'
+             else f'{headline_wire} wav')
     auto_tag = ('phase-adaptive wire, ' if WIRE == 'auto' else '')
     result = {
         'metric': (f'5s-clip inferences/sec/chip ({auto_tag}{qname} '
@@ -854,6 +952,11 @@ def main():
         'value': clips_per_sec,
         'unit': 'clips/s',
         'vs_baseline': round(clips_per_sec / BASELINE_CLIPS_PER_SEC, 2),
+        # accuracy admission (segment-based ER/F1 vs int16, tolerance
+        # 0.5% — tools/wire_admission.json): auto mode can only draw
+        # admitted wires, so this is True unless an operator forced a
+        # non-admitted wire via BENCH_WIRE
+        'wire_admitted': headline_wire in ADMITTED_WIRES,
         'wires': {w: r['clips_per_sec'] for w, r in readings.items()},
         'telemetry': compact_telemetry(
             dict(best_tel, bf16=bf16_used, wire=headline_wire)),

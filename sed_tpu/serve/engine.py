@@ -1376,6 +1376,262 @@ class SedInferenceEngine:
                 rpcs=k + 2, n_batches=n_batches)
         return per_clip, xmls
 
+    # ------------------------------------------------------------------
+    # ragged resident path: variable-rate wires (v6)
+    # ------------------------------------------------------------------
+    #
+    # The v6 wire (audio_io.v6_encode_clip) is LOSSLESS vs the q6
+    # container but variable-rate — clips have different byte lengths,
+    # so the fixed-width (N, W) resident buffer would have to pad every
+    # clip to the corpus maximum, forfeiting the compression on the
+    # link (the only place it matters).  Instead the pass ships ONE
+    # flat byte pool holding exactly the true payloads plus a (rows,)
+    # int32 offset vector; the fixed-shape gather to the worst-case
+    # width happens ON DEVICE (ops/wire.dequant_v6_pool), off the wire.
+    # Everything downstream (packed forward, top-k pull, host decode)
+    # is shared with the fixed-width resident path.
+
+    _RAGGED_POOL_BUCKET = 1 << 20    # words (4 MiB): jit programs are
+    # keyed on the padded pool size, so distinct corpora of similar
+    # size share one compiled program; the padding is device-side zeros
+    # (jnp.zeros), never uploaded
+    _RAGGED_TAIL_WORDS = 2048        # zero tail: pad-clip offsets point
+    # here (decodes to silence) and bound the header/data gather overrun
+
+    def _ragged_plan(self, payload_bytes: Sequence[int], n_threads: int):
+        """Plan a ragged pass: per-row word offsets (pad rows -> zero
+        tail), thread chunks balanced by BYTES (upload time is
+        byte-bound, not row-bound), and the padded static pool size."""
+        bs = self.batch_size
+        n = len(payload_bytes)
+        n_batches = -(-n // bs)
+        rows = n_batches * bs
+        pb = np.asarray(payload_bytes, np.int64)
+        assert (pb % 16 == 0).all(), 'v6 payloads are 16-byte padded'
+        bounds_b = np.concatenate([[0], np.cumsum(pb)])
+        total_words = int(bounds_b[-1]) // 4
+        offsets = np.empty(rows, np.int32)
+        offsets[:n] = bounds_b[:-1] // 4
+        offsets[n:] = total_words                # zero-tail -> silence
+        k = max(1, min(int(n_threads), n))
+        # byte-balanced chunk boundaries (row-aligned)
+        cuts = [int(np.searchsorted(bounds_b, bounds_b[-1] * i / k))
+                for i in range(k + 1)]
+        cuts[0], cuts[-1] = 0, n
+        cuts = sorted(set(cuts))
+        chunk_rows = list(zip(cuts[:-1], cuts[1:]))
+        chunk_words = tuple(int(bounds_b[hi] - bounds_b[lo]) // 4
+                            for lo, hi in chunk_rows)
+        need = total_words + self._RAGGED_TAIL_WORDS
+        bkt = self._RAGGED_POOL_BUCKET
+        pool_words = -(-need // bkt) * bkt
+        return (n_batches, rows, offsets, chunk_rows, chunk_words,
+                total_words, pool_words)
+
+    def _resident_pipeline_ragged(self, n_batches: int, pool_words: int,
+                                  chunk_words: Tuple[int, ...]):
+        """One jitted program per (batch count, padded pool size, upload
+        split): concatenate the uploaded pool chunks + device-side zero
+        padding, then lax.map the v6 decode + packed forward over every
+        batch of offsets — a single device launch for the whole pass."""
+        key = ('ragged', n_batches, pool_words, chunk_words,
+               self.pull_format == 'topk')
+        if key in self._resident_cache:
+            return self._resident_cache[key]
+        bs = self.batch_size
+        topk = self.pull_format == 'topk'
+        forward = self._forward_scan_fn
+        packed_from_fw = self._packed_from_fw_fn
+        samples = self.window_samples
+        pad_words = pool_words - sum(chunk_words)
+        assert pad_words >= self._RAGGED_TAIL_WORDS
+
+        def fn(variables, chunks, offsets):
+            parts = list(chunks) + [jnp.zeros(pad_words, jnp.int32)]
+            pool = jnp.concatenate(parts)
+            offs = offsets.reshape(n_batches, bs)
+
+            def one(off):
+                x = wire_ops.dequant_v6_pool(pool, off, samples)
+                fw, tm = forward(variables, x)
+                return packed_from_fw(fw), tm
+
+            packed, tm = jax.lax.map(one, offs)
+            packed = packed.reshape((-1,) + packed.shape[2:])
+            if not topk:
+                return packed
+            tm = tm.reshape((-1, tm.shape[-1]))
+            margin = (tm - self._high_dev[None, :]).reshape(-1)
+            k = min(self._topk_capacity_resident(n_batches * bs),
+                    margin.shape[0])
+            vals, idx = jax.lax.top_k(margin, k)
+            rows = packed.reshape((-1, packed.shape[-1]))[idx]
+            idx_b = jax.lax.bitcast_convert_type(
+                idx.astype(jnp.int32), jnp.uint8)
+            val_b = jax.lax.bitcast_convert_type(
+                vals.astype(jnp.float32), jnp.uint8)
+            tk = jnp.concatenate([rows, idx_b, val_b], axis=1)
+            return tk, packed
+
+        entry = jax.jit(fn)
+        self._resident_cache[key] = entry
+        return entry
+
+    def warmup_resident_ragged(self, payload_bytes: Sequence[int],
+                               upload_threads: int = 2) -> None:
+        """Compile + execute the ragged resident program for this
+        corpus's pass shape without shipping it: the plan is derived
+        from the per-clip payload SIZES alone (knowable from file
+        sizes, ``audio_io.v6_payload_bytes``), the chunks are
+        device-side zeros.  Must see the same sizes/threads as the
+        timed pass (the program cache is keyed on the derived plan)."""
+        assert self.mesh is None, 'resident paths are single-device'
+        (n_batches, rows, offsets, _chunk_rows, chunk_words,
+         total_words, pool_words) = self._ragged_plan(
+            payload_bytes, upload_threads)
+        fn = self._resident_pipeline_ragged(n_batches, pool_words,
+                                            chunk_words)
+        chunks = tuple(jnp.zeros(w, jnp.int32) for w in chunk_words)
+        out = fn(self.variables, chunks, jnp.asarray(offsets))
+        np.asarray(out[0] if isinstance(out, tuple) else out)
+
+    def predict_files_resident_ragged(
+            self, paths: Sequence[str], reader,
+            names: Optional[List[str]] = None,
+            upload_threads: int = 4,
+            telemetry: Optional[dict] = None,
+            upload_deadline_s: Optional[float] = None,
+            payload_bytes: Optional[Sequence[int]] = None
+            ) -> Tuple[List[List[dict]], List[str]]:
+        """Ragged-wire variant of ``predict_files_resident``:
+        ``reader(path)`` returns each clip's VARIABLE-LENGTH uint8 v6
+        payload; the pass uploads one flat pool of exactly the true
+        bytes (+ a (rows,) offset vector) and decodes on device.  File
+        reads pipeline into the upload threads; results are identical
+        to the q6 wire's (v6 decode is bit-identical).  ``payload_bytes``
+        skips the size stat when the caller already knows the sizes."""
+        assert self.mesh is None, (
+            'predict_files_resident_ragged is single-device')
+        assert len(paths) > 0, 'empty file list'
+        from sed_tpu.data import audio_io
+        n = len(paths)
+        if names is None:
+            names = [os.path.basename(p) for p in paths]
+        if payload_bytes is None:
+            payload_bytes = [audio_io.v6_payload_bytes(p) for p in paths]
+        (n_batches, rows, offsets, chunk_rows, chunk_words,
+         total_words, pool_words) = self._ragged_plan(
+            payload_bytes, upload_threads)
+        fn = self._resident_pipeline_ragged(n_batches, pool_words,
+                                            chunk_words)
+        bounds_b = np.concatenate(
+            [[0], np.cumsum(np.asarray(payload_bytes, np.int64))])
+
+        t0 = time.time()
+        k = len(chunk_rows)
+        chunks: List[Optional[jax.Array]] = [None] * k
+        errs: List[BaseException] = []
+
+        def _read_upload(i):
+            try:
+                lo, hi = chunk_rows[i]
+                base = bounds_b[lo]
+                buf = np.empty(int(bounds_b[hi] - base), np.uint8)
+                for j in range(lo, hi):
+                    row = reader(paths[j])
+                    o = int(bounds_b[j] - base)
+                    assert row.nbytes == payload_bytes[j], (
+                        paths[j], row.nbytes, payload_bytes[j])
+                    buf[o:o + row.nbytes] = row
+                chunks[i] = jax.device_put(buf.view(np.int32))
+            except BaseException as e:
+                errs.append(e)
+
+        deadline = (t0 + upload_deadline_s
+                    if upload_deadline_s is not None else None)
+        offs_dev = jax.device_put(offsets)
+        if k == 1 and deadline is None:
+            _read_upload(0)
+        else:
+            ths = [threading.Thread(target=_read_upload, args=(i,),
+                                    daemon=True) for i in range(k)]
+            for t in ths:
+                t.start()
+            for t in ths:
+                t.join(timeout=None if deadline is None
+                       else max(0.0, deadline - time.time()))
+            stuck = [t for t in ths if t.is_alive()]
+            if stuck:
+                if telemetry is not None:
+                    telemetry.update(aborted=1, upload_s=round(
+                        time.time() - t0, 4))
+                raise LinkCollapseError(
+                    f'{len(stuck)}/{k} upload threads missed the '
+                    f'{upload_deadline_s:.1f}s pass deadline — link '
+                    f'collapsed mid-pass')
+        if errs:
+            raise errs[0]
+        t1 = time.time()
+
+        topk = self.pull_format == 'topk'
+        out = fn(self.variables, tuple(chunks), offs_dev)
+        target = out[0] if topk else out
+        try:
+            target.copy_to_host_async()
+        except Exception:
+            pass
+        t2 = time.time()
+
+        p = self.sed_params.per_class(len(self.labels)) \
+            if hasattr(self.sed_params, 'per_class') else self.sed_params
+        per_clip: List[List[dict]] = [[] for _ in range(n)]
+        if deadline is None:
+            buf = np.asarray(target)
+        else:
+            buf = self._materialize_with_deadline(
+                target, deadline, upload_deadline_s, telemetry, t0)
+        pulled_bytes = buf.nbytes
+        t3 = time.time()
+        if topk:
+            self._decode_topk_into(per_clip, names, p, buf, out[1], 0, n)
+        else:
+            tb = self._track_bytes
+            buf = buf[:n]
+            act_n, act_c = np.nonzero(buf[:, :, :tb].any(axis=2))
+            self._decode_tracks_into(per_clip, names, p,
+                                     buf[act_n, act_c], act_n, act_c, 0)
+        xmls = [
+            xml_writer.events_to_xml(
+                sorted(evs, key=lambda e: e['onset']), names[i],
+                fallback_span=(0, self.sample_duration))
+            for i, evs in enumerate(per_clip)
+        ]
+        t4 = time.time()
+        if telemetry is not None:
+            telemetry.update(
+                upload_s=round(t1 - t0, 4),   # includes pipelined reads
+                launch_s=round(t2 - t1, 4),
+                pull_s=round(t3 - t2, 4),
+                decode_s=round(t4 - t3, 4),
+                read_s=0.0,
+                bytes_h2d=int(bounds_b[-1]) + offsets.nbytes,
+                bytes_d2h=int(pulled_bytes),
+                rpcs=k + 3, n_batches=n_batches)
+        return per_clip, xmls
+
+    def predict_rows_resident(self, rows_list: Sequence[np.ndarray],
+                              names: Optional[List[str]] = None
+                              ) -> Tuple[List[List[dict]], List[str]]:
+        """In-memory ragged predict: each element of ``rows_list`` is
+        one clip's variable-length uint8 v6 payload.  Used by the wire
+        admission tool; results identical to the file path."""
+        sizes = [int(r.nbytes) for r in rows_list]
+        store = {i: r for i, r in enumerate(rows_list)}
+        return self.predict_files_resident_ragged(
+            list(range(len(rows_list))), lambda i: store[i],
+            names=names or [f'clip{i}.wav' for i in store],
+            upload_threads=1, payload_bytes=sizes)
+
     def predict_clips(self, wavs: np.ndarray,
                       names: Optional[List[str]] = None
                       ) -> Tuple[List[List[dict]], List[str]]:

@@ -84,6 +84,55 @@ def test_v6_container_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
+def test_v6_ragged_resident_matches_q6(tmp_path):
+    """The ragged resident path (flat true-bytes pool + offsets) must
+    produce the exact events/XML of the fixed-width q6 resident path —
+    v6 decode is bit-identical to q6's, so any divergence is plumbing."""
+    import jax
+    from sed_tpu.config import AUDIO_16K, PREDICT_SED_PARAMS
+    from sed_tpu.models.registry import get_model
+    from sed_tpu.serve.engine import SedInferenceEngine
+
+    cfg = AUDIO_16K
+    sr = cfg.sample_rate
+    clips = _corpus_clips(10, seed=21)
+    model = get_model('Cnn_9layers_Gru_FrameAtt', cfg)
+    variables = model.init({'params': jax.random.PRNGKey(0)},
+                           np.zeros((1, sr * 5), np.float32),
+                           train=False)
+    eng = SedInferenceEngine(model, variables, cfg, sample_duration=5,
+                             overlap=True,
+                             sed_params=PREDICT_SED_PARAMS, batch_size=4)
+    names = [f'clip{i}.wav' for i in range(10)]
+    ev_q6, xml_q6 = eng.predict_clips_resident(
+        audio_io.qn_encode(clips, 6), names=names, upload_threads=2)
+    paths = []
+    for i in range(10):
+        p = str(tmp_path / f'c{i}.v6')
+        audio_io.save_v6(p, clips[i], sr)
+        paths.append(p)
+
+    def reader(p):
+        return audio_io.read_v6(p)[0]
+
+    tel: dict = {}
+    ev_v6, xml_v6 = eng.predict_files_resident_ragged(
+        paths, reader, names=names, upload_threads=3, telemetry=tel)
+    assert ev_v6 == ev_q6 and xml_v6 == xml_q6
+    # the pool ships fewer bytes than even the unpadded q6 buffer
+    assert tel['bytes_h2d'] < 10 * audio_io.qn_bytes(sr * 5, 6)
+    # warmup from payload sizes alone hits the same compiled program
+    nprog = len(eng._resident_cache)
+    eng.warmup_resident_ragged(
+        [audio_io.v6_payload_bytes(p) for p in paths], 3)
+    assert len(eng._resident_cache) == nprog
+    # in-memory rows API (wire admission tool)
+    ev_r, _ = eng.predict_rows_resident([reader(p) for p in paths],
+                                        names=names)
+    assert ev_r == ev_q6
+
+
+@pytest.mark.slow
 def test_v6_device_pool_decode_bit_exact():
     sr = 16000
     s = sr * 5

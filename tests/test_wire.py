@@ -165,9 +165,12 @@ def test_narrow_wire_event_match_trained():
         for (_, lb, on, off) in got:
             assert isinstance(lb, str) and 0.0 <= on <= off <= 5.01
     assert scores[6] >= 0.9                 # exact-parity serving wire
-    assert scores[5] >= 0.45                # loss-tolerant tier
-    assert scores[4] >= 0.35
-    # the ordering claim that justifies q6 as the headline primary and
-    # keeps q3/q2 out of AUTO_WIRES
+    # NOTE: no floors are pinned for the lossy widths — headline
+    # eligibility is decided EXCLUSIVELY by the measured segment-based
+    # ER/F1 admission gate (tools/wire_admission.json, enforced by
+    # bench.resolve_auto_wires and pinned in
+    # tests/test_wire_admission.py), not by this 0.05 s-tolerance
+    # event-match ladder.  The ladder remains as the strictest fidelity
+    # ordering check: more mantissa bits, better event match.
     assert scores[6] >= scores[4] >= scores[2]
     assert scores[6] >= scores[5] >= scores[3]
