@@ -177,6 +177,7 @@ class SedInferenceEngine:
             self.variables = jax.device_put(variables, self._replicated)
             jit_kw = dict(in_shardings=(self._replicated, self._sharded))
         else:
+            self._replicated = self._sharded = None
             jit_kw = {}
 
         def _forward(variables, wav):
@@ -819,11 +820,23 @@ class SedInferenceEngine:
         topk = self.pull_format == 'topk'
         forward = self._forward_scan_fn
         packed_from_fw = self._packed_from_fw_fn
+        mesh = self.mesh
 
         def fn(variables, chunks):
             buf = (jnp.concatenate(chunks, axis=0)
                    if len(chunks) > 1 else chunks[0])
             wavs = buf.reshape(n_batches, bs, wire_width)
+            if mesh is not None:
+                # mesh-sharded resident serving (SURVEY §2.12: the data
+                # mesh replaces torch.nn.DataParallel for the paths
+                # people actually run): every lax.map step's batch is
+                # split over the 'data' axis, so the whole resident
+                # pass runs data-parallel across the mesh — XLA inserts
+                # the one ICI reshard here and the top-k gather below
+                from jax.sharding import PartitionSpec as P
+                wavs = jax.lax.with_sharding_constraint(
+                    wavs, jax.sharding.NamedSharding(
+                        mesh, P(None, 'data', None)))
 
             def one(w):
                 fw, tm = forward(variables, w)
@@ -864,6 +877,25 @@ class SedInferenceEngine:
         base, extra = divmod(n_batches, m)
         return [base + (1 if i < extra else 0) for i in range(m)]
 
+    def _upload_sizes(self, rows: int, n_clips: int,
+                      upload_threads: int) -> Tuple[int, ...]:
+        """Split ``rows`` padded rows into near-equal upload chunks.
+        On a mesh every chunk is a multiple of the device count so the
+        row-sharded ``device_put`` divides evenly."""
+        unit = self.mesh.devices.size if self.mesh is not None else 1
+        g = rows // unit
+        k = max(1, min(int(upload_threads), n_clips, g))
+        base, extra = divmod(g, k)
+        return tuple((base + (1 if i < extra else 0)) * unit
+                     for i in range(k))
+
+    def _put_rows(self, x):
+        """``device_put`` a rows-leading host buffer — sharded over the
+        'data' axis in mesh mode, plain single-device otherwise."""
+        if self.mesh is not None:
+            return jax.device_put(x, self._sharded)
+        return jax.device_put(x)
+
     def warmup_resident(self, n_clips: int, width: int, dtype,
                         upload_threads: int = 2,
                         launch_chunks: int = 1) -> None:
@@ -880,7 +912,6 @@ class SedInferenceEngine:
         ``n_clips``/``width``/``dtype``/``upload_threads`` as the timed
         pass (the program cache is keyed on them).
         """
-        assert self.mesh is None, 'resident paths are single-device'
         bs = self.batch_size
         n_batches = -(-n_clips // bs)
         if launch_chunks > 1:
@@ -895,12 +926,11 @@ class SedInferenceEngine:
                 np.asarray(out[0] if isinstance(out, tuple) else out)
             return
         rows = n_batches * bs
-        k = max(1, min(int(upload_threads), n_clips))
-        base, extra = divmod(rows, k)
-        sizes = tuple(base + (1 if i < extra else 0) for i in range(k))
+        sizes = self._upload_sizes(rows, n_clips, upload_threads)
         fn = self._resident_pipeline(n_batches, width, np.dtype(dtype),
                                      sizes)
-        chunks = tuple(jnp.zeros((s, width), np.dtype(dtype))
+        chunks = tuple(self._put_rows(np.zeros((s, width),
+                                               np.dtype(dtype)))
                        for s in sizes)
         out = fn(self.variables, chunks)
         # warm the d2h pull path too (packed masks / topk buffer)
@@ -946,9 +976,9 @@ class SedInferenceEngine:
         times).  Equal chunks share one compiled program (at most two
         programs per pass shape).  Exact — same events as m=1.
         """
-        assert self.mesh is None, (
-            'predict_clips_resident is single-device; use predict_clips '
-            'with a mesh')
+        if self.mesh is not None and launch_chunks > 1:
+            launch_chunks = 1      # chunked launches are a single-chip
+            # RPC-latency optimization; the mesh path uses one launch
         if launch_chunks > 1:
             return self._predict_clips_resident_chunked(
                 wavs, names, launch_chunks, telemetry)
@@ -964,9 +994,8 @@ class SedInferenceEngine:
         # clamp by the UNPADDED clip count — the same convention as
         # predict_files_resident and warmup_resident, so identical
         # (n, width, dtype, threads) always hits one cached program
-        k = max(1, min(int(upload_threads), n))
-        base, extra = divmod(rows, k)
-        sizes = tuple(base + (1 if i < extra else 0) for i in range(k))
+        sizes = self._upload_sizes(rows, n, upload_threads)
+        k = len(sizes)
         fn = self._resident_pipeline(n_batches, width, wavs.dtype, sizes)
 
         t0 = time.time()
@@ -974,7 +1003,7 @@ class SedInferenceEngine:
         bounds = np.cumsum((0,) + sizes)
 
         def _upload(i):
-            chunks[i] = jax.device_put(wavs[bounds[i]:bounds[i + 1]])
+            chunks[i] = self._put_rows(wavs[bounds[i]:bounds[i + 1]])
 
         if k == 1:
             _upload(0)
@@ -1222,10 +1251,9 @@ class SedInferenceEngine:
         and the orphaned pull drain in daemon threads; the engine
         stays usable and a retry re-reads from the files.
         """
-        assert self.mesh is None, (
-            'predict_files_resident is single-device; use predict_clips '
-            'with a mesh')
         assert len(paths) > 0, 'predict_files_resident: empty file list'
+        if self.mesh is not None and launch_chunks > 1:
+            launch_chunks = 1      # see predict_clips_resident
         n = len(paths)
         if names is None:
             names = [os.path.basename(p) for p in paths]
@@ -1272,9 +1300,8 @@ class SedInferenceEngine:
             return out
         n_batches = -(-n // bs)
         rows = n_batches * bs
-        k = max(1, min(int(upload_threads), n))
-        base, extra = divmod(rows, k)
-        sizes = tuple(base + (1 if i < extra else 0) for i in range(k))
+        sizes = self._upload_sizes(rows, n, upload_threads)
+        k = len(sizes)
         fn = self._resident_pipeline(n_batches, width, first.dtype, sizes)
         bounds = np.cumsum((0,) + sizes)
 
@@ -1294,7 +1321,7 @@ class SedInferenceEngine:
                 for j in range(start, hi - lo):
                     if lo + j < n:
                         buf[j] = reader(paths[lo + j])
-                chunks[i] = jax.device_put(buf)
+                chunks[i] = self._put_rows(buf)
             except BaseException as e:
                 errs.append(e)
 
