@@ -24,6 +24,9 @@ from sed_tpu.models.registry import get_model
 from sed_tpu.ops import wire
 from sed_tpu.serve.engine import SedInferenceEngine
 
+# jit-heavy tier: excluded from the fast CI run (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope='module')
 def engine():

@@ -16,6 +16,9 @@ from sed_tpu.cli import main_strong as main_strong_cli
 from sed_tpu.cli import optimize_thresholds as opt_cli
 from sed_tpu.cli import predict as predict_cli
 
+# jit-heavy tier: excluded from the fast CI run (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
 CFG = AUDIO_16K
 N = 6
 

@@ -14,6 +14,9 @@ from sed_tpu.data import audio_io
 from sed_tpu.cli import features as features_cli
 from sed_tpu.cli import main_strong as main_strong_cli
 
+# jit-heavy tier: excluded from the fast CI run (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
 CFG = AUDIO_16K
 N = 4
 

@@ -20,6 +20,9 @@ from sed_tpu.data import audio_io
 from sed_tpu.cli import features as features_cli
 from sed_tpu.cli import main as main_cli
 
+# jit-heavy tier: excluded from the fast CI run (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
 CFG = AUDIO_16K
 N = 4
 

@@ -31,6 +31,9 @@ from sed_tpu.models.registry import get_model  # noqa: E402
 from test_compat import (_TorchAttBlock, _TorchConvBlock,  # noqa: E402
                           _randomize_bn_stats)
 
+# jit-heavy tier: excluded from the fast CI run (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
 CFG = AUDIO_16K
 
 

@@ -13,6 +13,9 @@ from sed_tpu.config import AUDIO_16K, CLASSES_NUM
 from sed_tpu.models import blocks
 from sed_tpu.models.registry import get_model, MODEL_REGISTRY
 
+# jit-heavy tier: excluded from the fast CI run (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
 RNGS = {'params': jax.random.PRNGKey(0)}
 TRAIN_RNGS = {'params': jax.random.PRNGKey(0),
               'dropout': jax.random.PRNGKey(1),

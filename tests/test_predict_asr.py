@@ -12,6 +12,9 @@ from sed_tpu.config import AUDIO_16K
 from sed_tpu.data import audio_io
 from sed_tpu.cli import predict as predict_cli
 
+# jit-heavy tier: excluded from the fast CI run (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
 
 class _FakeRecognizer:
     def record(self, source):

@@ -28,6 +28,9 @@ import pytest
 from sed_tpu.eval.segment_metrics import (SegmentBasedMetrics,
                                           official_evaluate)
 
+# jit-heavy tier: excluded from the fast CI run (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
 
 # ---------------------------------------------------------------------------
 # brute-force oracle (different formulation, see module docstring)

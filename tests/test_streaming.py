@@ -25,6 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 from bench import make_test_clips  # noqa: E402
 
+# jit-heavy tier: excluded from the fast CI run (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
 CKPT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), 'tools', 'bench_checkpoint.npz')
 

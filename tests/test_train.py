@@ -12,6 +12,9 @@ from sed_tpu.parallel import mesh as mesh_lib
 from sed_tpu.train.state import create_train_state
 from sed_tpu.train.step import make_train_step, make_eval_step
 
+# jit-heavy tier: excluded from the fast CI run (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
 
 def test_bce_losses_match_torch():
     torch = pytest.importorskip('torch')

@@ -11,6 +11,10 @@ from sed_tpu.config import AUDIO_16K, CLASSES_NUM, LABELS
 from sed_tpu.models.registry import get_model
 from sed_tpu.train.state import create_train_state
 from sed_tpu.train.step import make_train_step
+import pytest
+
+# jit-heavy tier: excluded from the fast CI run (pytest -m "not slow")
+pytestmark = pytest.mark.slow
 
 
 def test_conformer_train_step():

@@ -20,6 +20,10 @@ from sed_tpu.models.registry import get_model
 from sed_tpu.ops import wire
 from sed_tpu.train.state import create_train_state
 from sed_tpu.train.step import make_train_step
+import pytest
+
+# jit-heavy tier: excluded from the fast CI run (pytest -m "not slow")
+pytestmark = pytest.mark.slow
 
 
 def test_dequant_wire_matches_host_decoders():
