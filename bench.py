@@ -630,6 +630,62 @@ def run_pass(engine, paths, read, names, telemetry=None,
     return engine.predict_clips_stream(batches(), names=names)
 
 
+def _start_setup_watchdog(t_start, get_phase, stall_s=None):
+    """Self-heal for the tunnel's silent-wedge failure mode.
+
+    Twice observed (20 Aug): a fresh process that attaches to the
+    tunnel shortly after another process released it can block FOREVER
+    inside its first remote compile/transfer — ~0 CPU, one thread, no
+    error — while a freshly launched process succeeds instantly.  A
+    wedged official run would record NO headline at all (worse than
+    round 3's unparseable one), so: a daemon thread watches the
+    setup-phase progress timestamp (updated by every ``stage()``) and,
+    if setup stalls longer than ``BENCH_STALL_EXEC_S`` (default 480 s
+    — above every observed legitimate warm+compile, round-4 max 316 s),
+    re-execs the whole process image (``os.execv``), tearing down the
+    wedged tunnel connection.  Capped at 2 retries via
+    ``BENCH_EXEC_RETRY``; the watchdog disarms once the primary warm
+    finishes (``get_phase() >= 1``) — after that, draws carry their own
+    deadline/abort machinery and a dead-phase draw may legitimately
+    run for many minutes."""
+    import threading
+    stall_s = stall_s or float(os.environ.get('BENCH_STALL_EXEC_S',
+                                              '480'))
+    retries = int(os.environ.get('BENCH_EXEC_RETRY', '0'))
+
+    def watch():
+        while get_phase() < 1:
+            last = _progress[0]
+            _sleep_real = time.sleep
+            _sleep_real(10.0)
+            if get_phase() >= 1:
+                return
+            if time.time() - last > stall_s and _progress[0] == last:
+                if retries >= 2:
+                    print('# FATAL: setup wedged again after '
+                          f'{retries} re-execs; giving up',
+                          file=sys.stderr, flush=True)
+                    os._exit(4)
+                print(f'# setup stalled {time.time() - last:.0f}s '
+                      f'(wedged tunnel attach?); re-exec '
+                      f'#{retries + 1} of the bench process',
+                      file=sys.stderr, flush=True)
+                os.environ['BENCH_EXEC_RETRY'] = str(retries + 1)
+                try:
+                    sys.stderr.flush()
+                    sys.stdout.flush()
+                finally:
+                    os.execv(sys.executable,
+                             [sys.executable] + sys.argv)
+
+    th = threading.Thread(target=watch, daemon=True)
+    th.start()
+    return th
+
+
+_progress = [time.time()]
+
+
 def _require_backend(timeout_s=600.0):
     """Bounded backend init: the remote tunnel has been observed fully
     DOWN for hours (jax.devices() then hangs forever in a reconnect
@@ -673,8 +729,14 @@ def main():
     t_start = time.time()
 
     def stage(msg):
+        _progress[0] = time.time()
         print(f'# t+{time.time() - t_start:.0f}s: {msg}',
               file=sys.stderr, flush=True)
+
+    # setup-phase wedge watchdog: disarms once the primary warm is done
+    _setup_phase = [0]
+    _progress[0] = time.time()
+    _start_setup_watchdog(t_start, lambda: _setup_phase[0])
 
     def build_engine(bf16):
         model = get_model('Cnn_9layers_Gru_FrameAtt', cfg,
@@ -808,6 +870,7 @@ def main():
                                        sample.dtype, THREADS)
             stage(f'{PRIMARY_WIRE} warm')
             primary_bytes = padded_bytes(sample)
+        _setup_phase[0] = 1          # warm done: disarm the watchdog
         raw_before = measure_raw_link_mb_s()
         stage(f'raw link probe: {raw_before:.0f} MB/s')
         wiresets = {PRIMARY_WIRE: (paths, read, primary_bytes)}
@@ -877,6 +940,7 @@ def main():
         engine.predict_clips_stream(iter([warm]),
                                     names=names[:warm.shape[0]])
         stage(f'{PRIMARY_WIRE} warm')
+        _setup_phase[0] = 1          # warm done: disarm the watchdog
         times = []
         spent = 0.0
         for i in range(MAX_REPEATS):
