@@ -630,69 +630,108 @@ def run_pass(engine, paths, read, names, telemetry=None,
     return engine.predict_clips_stream(batches(), names=names)
 
 
-def _start_setup_watchdog(t_start, get_phase, stall_s=None):
+_WD_DISARM = '#WD-DISARM'
+
+
+def supervise():
     """Self-heal for the tunnel's silent-wedge failure mode.
 
-    Twice observed (20 Aug): a fresh process that attaches to the
-    tunnel shortly after another process released it can block FOREVER
-    inside its first remote compile/transfer — ~0 CPU, one thread, no
-    error — while a freshly launched process succeeds instantly.  A
-    wedged official run would record NO headline at all (worse than
-    round 3's unparseable one), so: a daemon thread watches the
-    setup-phase progress timestamp (updated by every ``stage()``) and,
-    if setup stalls longer than ``BENCH_STALL_EXEC_S`` (default 480 s
-    — above every observed legitimate warm+compile, round-4 max 316 s),
-    re-execs the whole process image (``os.execv``), tearing down the
-    wedged tunnel connection.  Capped at 2 retries via
-    ``BENCH_EXEC_RETRY``; the watchdog disarms once the primary warm
-    finishes (``get_phase() >= 1``) — after that, draws carry their own
-    deadline/abort machinery and a dead-phase draw may legitimately
-    run for many minutes."""
+    Three times observed (20 Aug): a fresh process that attaches to
+    the tunnel shortly after another released it can block FOREVER
+    inside its first remote compile/transfer — ~0 CPU, every thread
+    asleep, no error — while a freshly launched process succeeds
+    instantly.  An in-process watchdog thread cannot interrupt it (the
+    wedged client call never yields), and a wedged official run would
+    record NO headline at all, so the bench runs SUPERVISED: the
+    parent process (pure Python, no jax import) spawns the real bench
+    as an unbuffered child, pipes its stdout/stderr through verbatim,
+    and kills + respawns it (max ``BENCH_WEDGE_RETRIES``, default 2)
+    if the child's stderr goes silent for ``BENCH_STALL_EXEC_S``
+    (default 480 s — above the round-4 max legitimate warm+compile of
+    316 s) BEFORE the child prints the ``#WD-DISARM`` marker at the
+    end of setup.  After the marker the stall monitor disarms — draws
+    carry their own deadline/abort machinery and a dead-phase draw may
+    legitimately run silent for many minutes."""
+    import subprocess
     import threading
-    stall_s = stall_s or float(os.environ.get('BENCH_STALL_EXEC_S',
-                                              '480'))
-    retries = int(os.environ.get('BENCH_EXEC_RETRY', '0'))
+    stall_s = float(os.environ.get('BENCH_STALL_EXEC_S', '480'))
+    max_retries = int(os.environ.get('BENCH_WEDGE_RETRIES', '2'))
+    env = dict(os.environ, BENCH_SUPERVISED='1')
+    last = [time.time()]
+    disarmed = [False]
 
-    def watch():
-        while get_phase() < 1:
-            last = _progress[0]
-            _sleep_real = time.sleep
-            _sleep_real(10.0)
-            if get_phase() >= 1:
-                return
-            if time.time() - last > stall_s and _progress[0] == last:
-                if retries >= 2:
-                    print('# FATAL: setup wedged again after '
-                          f'{retries} re-execs; giving up',
+    for attempt in range(max_retries + 1):
+        if attempt:
+            # escalating cool-down before re-attach: the wedge window
+            # (observed once for ~20+ min) can outlive a fixed pause
+            time.sleep(float(os.environ.get('BENCH_WEDGE_COOLDOWN_S',
+                                            '20')) * attempt)
+        last[0] = time.time()
+        disarmed[0] = False
+        child = subprocess.Popen(
+            [sys.executable, '-u'] + sys.argv, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+
+        def pump(src, dst):
+            for line in iter(src.readline, b''):
+                last[0] = time.time()
+                if line.strip() == _WD_DISARM.encode():
+                    disarmed[0] = True
+                    continue
+                dst.buffer.write(line)
+                dst.flush()
+
+        ts = [threading.Thread(target=pump, args=(child.stdout,
+                                                  sys.stdout)),
+              threading.Thread(target=pump, args=(child.stderr,
+                                                  sys.stderr))]
+        for t in ts:
+            t.daemon = True
+            t.start()
+        while True:
+            try:
+                rc = child.wait(timeout=10.0)
+                break
+            except subprocess.TimeoutExpired:
+                if (not disarmed[0]
+                        and time.time() - last[0] > stall_s):
+                    print(f'# supervisor: setup silent '
+                          f'{time.time() - last[0]:.0f}s (wedged '
+                          f'tunnel attach?); killing + respawning '
+                          f'(attempt {attempt + 1}/{max_retries})',
                           file=sys.stderr, flush=True)
-                    os._exit(4)
-                print(f'# setup stalled {time.time() - last:.0f}s '
-                      f'(wedged tunnel attach?); re-exec '
-                      f'#{retries + 1} of the bench process',
-                      file=sys.stderr, flush=True)
-                os.environ['BENCH_EXEC_RETRY'] = str(retries + 1)
-                try:
-                    sys.stderr.flush()
-                    sys.stdout.flush()
-                finally:
-                    os.execv(sys.executable,
-                             [sys.executable] + sys.argv)
-
-    th = threading.Thread(target=watch, daemon=True)
-    th.start()
-    return th
-
-
-_progress = [time.time()]
+                    child.kill()
+                    child.wait()
+                    rc = None
+                    break
+        for t in ts:
+            t.join(timeout=5.0)
+        if rc is not None and rc != 5:
+            # normal completion or a real error — propagate.  rc == 5
+            # is the child's own fast wedge detection (compile probe
+            # timeout, see _require_backend): retry like a stall.
+            raise SystemExit(rc)
+        if attempt >= max_retries:
+            print('# FATAL: bench child wedged on every attempt; no '
+                  'reading possible', file=sys.stderr, flush=True)
+            raise SystemExit(4)
 
 
-def _require_backend(timeout_s=600.0):
-    """Bounded backend init: the remote tunnel has been observed fully
-    DOWN for hours (jax.devices() then hangs forever in a reconnect
-    loop).  Probe it in a daemon thread and exit loudly on timeout so
-    the driver records a failed bench instead of hanging."""
+def _require_backend(timeout_s=600.0, compile_timeout_s=None):
+    """Bounded backend init + compile-health probe.
+
+    Two observed tunnel failure modes: (a) fully DOWN for hours
+    (jax.devices() hangs forever in a reconnect loop) -> exit 3; (b)
+    the COMPILE service wedged while devices/transfers stay healthy (a
+    trivial jit never returns; ~0 CPU, every thread asleep — 20 Aug,
+    four processes in a row) -> probe a 1-op jit in a daemon thread
+    and exit 5 on timeout, which the supervisor (``supervise``)
+    retries after a cool-down instead of burning its silent-stall
+    budget."""
     import threading
     import jax
+    compile_timeout_s = compile_timeout_s or float(
+        os.environ.get('BENCH_COMPILE_PROBE_S', '240'))
     out = []
 
     def probe():
@@ -708,6 +747,24 @@ def _require_backend(timeout_s=600.0):
               file=sys.stderr, flush=True)
         os._exit(3)
     print(f'# devices: {out[0]}', file=sys.stderr, flush=True)
+
+    import jax.numpy as jnp
+    done = []
+
+    def cprobe():
+        f = jax.jit(lambda x: (x * 2.0 + 1.0).sum())
+        done.append(float(f(jnp.ones((128, 128)))))
+
+    tc = threading.Thread(target=cprobe, daemon=True)
+    tc.start()
+    tc.join(compile_timeout_s)
+    if not done:
+        print(f'# compile probe did not finish within '
+              f'{compile_timeout_s:.0f}s — the tunnel compile service '
+              f'is wedged; exiting for a supervised retry',
+              file=sys.stderr, flush=True)
+        os._exit(5)
+    print('# compile probe ok', file=sys.stderr, flush=True)
 
 
 def main():
@@ -729,14 +786,14 @@ def main():
     t_start = time.time()
 
     def stage(msg):
-        _progress[0] = time.time()
         print(f'# t+{time.time() - t_start:.0f}s: {msg}',
               file=sys.stderr, flush=True)
 
-    # setup-phase wedge watchdog: disarms once the primary warm is done
-    _setup_phase = [0]
-    _progress[0] = time.time()
-    _start_setup_watchdog(t_start, lambda: _setup_phase[0])
+    def disarm_watchdog():
+        # tells the supervisor (see `supervise`) that setup is done:
+        # from here on, silence is a legitimate dead link phase, not a
+        # wedged tunnel attach
+        print(_WD_DISARM, file=sys.stderr, flush=True)
 
     def build_engine(bf16):
         model = get_model('Cnn_9layers_Gru_FrameAtt', cfg,
@@ -870,7 +927,7 @@ def main():
                                        sample.dtype, THREADS)
             stage(f'{PRIMARY_WIRE} warm')
             primary_bytes = padded_bytes(sample)
-        _setup_phase[0] = 1          # warm done: disarm the watchdog
+        disarm_watchdog()
         raw_before = measure_raw_link_mb_s()
         stage(f'raw link probe: {raw_before:.0f} MB/s')
         wiresets = {PRIMARY_WIRE: (paths, read, primary_bytes)}
@@ -940,7 +997,7 @@ def main():
         engine.predict_clips_stream(iter([warm]),
                                     names=names[:warm.shape[0]])
         stage(f'{PRIMARY_WIRE} warm')
-        _setup_phase[0] = 1          # warm done: disarm the watchdog
+        disarm_watchdog()
         times = []
         spent = 0.0
         for i in range(MAX_REPEATS):
@@ -1041,4 +1098,7 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if os.environ.get('BENCH_SUPERVISED') == '1':
+        main()
+    else:
+        supervise()
