@@ -237,6 +237,16 @@ PRIMARY_WIRE = AUTO_WIRES[0] if WIRE == 'auto' else WIRE
 # a narrower (lossier) wire must be predicted at least this much faster
 # (ratio) than the primary to displace it — quality tie-break
 AUTO_MARGIN = float(os.environ.get('BENCH_AUTO_MARGIN', '0.92'))
+
+
+def wire_margin(w: str) -> float:
+    """Displacement margin for wire ``w`` vs the current pick.
+
+    The margin is a QUALITY tie-break: a lossier wire must be predicted
+    decisively faster to displace the pick.  v6 decodes bit-identically
+    to q6 (no quality to trade), so it needs only a hair of predicted
+    advantage (flap guard), not the lossy margin."""
+    return 0.995 if w == 'v6' else AUTO_MARGIN
 # mid-pass collapse abort: a gate-approved draw's uploads get a
 # deadline of max(FACTOR x predicted upload, predicted + SLACK) s;
 # missing it raises LinkCollapseError and the gate re-hunts instead of
@@ -510,7 +520,7 @@ def gated_headline_draws(engine, wiresets, names, stage,
             # the primary's prediction by AUTO_MARGIN to displace it
             wire = primary
             for w in est:
-                if w != primary and est[w] < est[wire] * AUTO_MARGIN:
+                if w != primary and est[w] < est[wire] * wire_margin(w):
                     wire = w
             if (pending and wire in pending
                     and est[wire] < min(times) * 0.98):
@@ -531,7 +541,7 @@ def gated_headline_draws(engine, wiresets, names, stage,
                 # wire for the skip decision / reality check
                 wire = primary
                 for w in wiresets:
-                    if w != primary and est[w] < est[wire] * AUTO_MARGIN:
+                    if w != primary and est[w] < est[wire] * wire_margin(w):
                         wire = w
             if est[wire] >= min(times) * 0.98:
                 if _now() - last_draw < REALITY_CHECK_S:
@@ -698,7 +708,7 @@ def supervise():
                     print(f'# supervisor: setup silent '
                           f'{time.time() - last[0]:.0f}s (wedged '
                           f'tunnel attach?); killing + respawning '
-                          f'(attempt {attempt + 1}/{max_retries})',
+                          f'(attempt {attempt + 1}/{max_retries + 1})',
                           file=sys.stderr, flush=True)
                     child.kill()
                     child.wait()
