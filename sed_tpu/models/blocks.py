@@ -165,17 +165,72 @@ class GRUCellScan(nn.Module):
         return hs.transpose(1, 0, 2)
 
 
-class BiGRU(nn.Module):
-    """Bidirectional single-layer GRU, output (B, T, 2H)
-    (torch ``nn.GRU(bidirectional=True)`` semantics, ``models.py:615``)."""
+class _GRUDirParams(nn.Module):
+    """Parameter container for one GRU direction.
+
+    Exists so ``BiGRU`` can run BOTH directions in one fused scan while
+    keeping the exact parameter tree of the original two-``GRUCellScan``
+    layout (``gru/{fw,bw}/{w_ih,w_hh,b_ih,b_hh}``) — every existing
+    checkpoint and the torch loader depend on those paths."""
 
     hidden_size: int
+    input_size: int
+
+    @nn.compact
+    def __call__(self):
+        h, d = self.hidden_size, self.input_size
+        return (self.param('w_ih', _gru_ih_init, (3 * h, d)),
+                self.param('w_hh', _gru_hh_init, (3 * h, h)),
+                self.param('b_ih', nn.initializers.zeros, (3 * h,)),
+                self.param('b_hh', nn.initializers.zeros, (3 * h,)))
+
+
+class BiGRU(nn.Module):
+    """Bidirectional single-layer GRU, output (B, T, 2H)
+    (torch ``nn.GRU(bidirectional=True)`` semantics, ``models.py:615``).
+
+    Both directions run in ONE ``lax.scan`` over stacked (2, B) lanes
+    (the backward direction scans the time-reversed input), halving the
+    step's sequential depth vs two consecutive scans — the recurrence,
+    not FLOPs, is the measured training wall for the Gru models
+    (BENCHMARKS.md round-4 training table).  ``unroll`` fuses that many
+    recurrence steps per loop iteration (exact; amortizes per-iteration
+    overhead).  Math per step is identical to ``GRUCellScan``."""
+
+    hidden_size: int
+    unroll: int = 8
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        fw = GRUCellScan(self.hidden_size, name='fw')(x)
-        bw = GRUCellScan(self.hidden_size, name='bw')(x[:, ::-1])[:, ::-1]
-        return jnp.concatenate([fw, bw], axis=-1)
+        h = self.hidden_size
+        b, t, d = x.shape
+        fw = _GRUDirParams(h, d, name='fw')()
+        bw = _GRUDirParams(h, d, name='bw')()
+        w_ih = jnp.stack([fw[0], bw[0]])              # (2, 3H, D)
+        w_hh = jnp.stack([fw[1], bw[1]])              # (2, 3H, H)
+        b_ih = jnp.stack([fw[2], bw[2]])              # (2, 3H)
+        b_hh = jnp.stack([fw[3], bw[3]])
+
+        xx = jnp.stack([x, x[:, ::-1]], axis=0)       # (2, B, T, D)
+        # both directions' input projections in one batched MXU matmul,
+        # emitted time-major for the scan
+        xp = (jnp.einsum('gbtd,gkd->tgbk', xx, w_ih)
+              + b_ih[None, :, None, :])               # (T, 2, B, 3H)
+
+        def step(carry, xp_t):
+            hp = (jnp.einsum('gbh,gkh->gbk', carry, w_hh)
+                  + b_hh[:, None, :])                 # (2, B, 3H)
+            r = jax.nn.sigmoid(xp_t[..., :h] + hp[..., :h])
+            z = jax.nn.sigmoid(xp_t[..., h:2 * h] + hp[..., h:2 * h])
+            n = jnp.tanh(xp_t[..., 2 * h:] + r * hp[..., 2 * h:])
+            new_h = (1.0 - z) * n + z * carry
+            return new_h, new_h
+
+        h0 = jnp.zeros((2, b, h), x.dtype)
+        _, hs = jax.lax.scan(step, h0, xp, unroll=self.unroll)
+        out_fw = hs[:, 0].swapaxes(0, 1)              # (B, T, H)
+        out_bw = hs[::-1, 1].swapaxes(0, 1)
+        return jnp.concatenate([out_fw, out_bw], axis=-1)
 
 
 # ---------------------------------------------------------------------------
