@@ -6,8 +6,9 @@ import pytest
 from sed_tpu.native.vad_native import native_available, decode_packed_tracks
 from sed_tpu.post import vad
 
-pytestmark = pytest.mark.skipif(not native_available(),
-                                reason='g++ unavailable')
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not native_available(),
+                                 reason='g++ unavailable')]
 
 
 def _pack(mask):

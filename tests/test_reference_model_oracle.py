@@ -39,9 +39,9 @@ from test_dsp_frontend import _librosa_mel_oracle  # noqa: E402
 
 REF = '/root/reference'
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(os.path.join(REF, 'pytorch')),
-    reason='reference repo not mounted')
+    reason='reference repo not mounted')]
 
 
 def _functional_librosa_stub():

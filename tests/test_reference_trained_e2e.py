@@ -47,9 +47,9 @@ from test_reference_model_oracle import _functional_librosa_stub  # noqa: E402
 
 REF = '/root/reference'
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(os.path.join(REF, 'pytorch')),
-    reason='reference repo not mounted')
+    reason='reference repo not mounted')]
 
 SR = 16000
 #: tone band per synthetic class (classes 0..3 of the 25-label set)
