@@ -657,14 +657,16 @@ def supervise():
     as an unbuffered child, pipes its stdout/stderr through verbatim,
     and kills + respawns it (max ``BENCH_WEDGE_RETRIES``, default 2)
     if the child's stderr goes silent for ``BENCH_STALL_EXEC_S``
-    (default 480 s — above the round-4 max legitimate warm+compile of
-    316 s) BEFORE the child prints the ``#WD-DISARM`` marker at the
-    end of setup.  After the marker the stall monitor disarms — draws
+    (default 1500 s — above the ~20-25 min slow-queue remote-compile
+    windows measured 20 Aug; a queued compile holds the GIL, so no
+    in-child heartbeat can distinguish queue from wedge and killing a
+    QUEUED child re-enters the queue at the tail) BEFORE the child
+    prints the ``#WD-DISARM`` marker at the end of setup.  After the marker the stall monitor disarms — draws
     carry their own deadline/abort machinery and a dead-phase draw may
     legitimately run silent for many minutes."""
     import subprocess
     import threading
-    stall_s = float(os.environ.get('BENCH_STALL_EXEC_S', '480'))
+    stall_s = float(os.environ.get('BENCH_STALL_EXEC_S', '1500'))
     max_retries = int(os.environ.get('BENCH_WEDGE_RETRIES', '2'))
     env = dict(os.environ, BENCH_SUPERVISED='1')
     last = [time.time()]
@@ -760,6 +762,7 @@ def _require_backend(timeout_s=600.0, compile_timeout_s=None):
 
     import jax.numpy as jnp
     done = []
+    t0 = time.time()
 
     def cprobe():
         f = jax.jit(lambda x: (x * 2.0 + 1.0).sum())
@@ -767,14 +770,21 @@ def _require_backend(timeout_s=600.0, compile_timeout_s=None):
 
     tc = threading.Thread(target=cprobe, daemon=True)
     tc.start()
-    tc.join(compile_timeout_s)
-    if not done:
-        print(f'# compile probe did not finish within '
-              f'{compile_timeout_s:.0f}s — the tunnel compile service '
-              f'is wedged; exiting for a supervised retry',
-              file=sys.stderr, flush=True)
-        os._exit(5)
-    print('# compile probe ok', file=sys.stderr, flush=True)
+    # The remote-compile relay has measured SLOW-QUEUE windows (a
+    # compile answered after ~20-25 min) as well as seconds-fast ones.
+    # Killing + retrying re-enters the queue at the tail — strictly
+    # worse — so the probe WAITS, logging progress so the supervisor's
+    # silent-stall timer never fires while we are merely queued.
+    while not done:
+        tc.join(min(60.0, compile_timeout_s))
+        if not done:
+            print(f'# compile probe still queued after '
+                  f'{time.time() - t0:.0f}s (slow remote-compile '
+                  f'window); waiting — run tools/prewarm_bench.py in a '
+                  f'healthy window to make bench runs compile-free',
+                  file=sys.stderr, flush=True)
+    print(f'# compile probe ok ({time.time() - t0:.1f}s)',
+          file=sys.stderr, flush=True)
 
 
 def main():
