@@ -1,0 +1,113 @@
+"""Pre-populate the persistent compile cache with every program the
+official bench run needs.
+
+The tunnel compiles via a remote-compile relay (POST /remote_compile)
+that has been observed to wedge for tens of minutes — a process whose
+FIRST compile lands in a wedged window hangs forever (BENCHMARKS.md
+round-5 tunnel pathology).  jax's persistent compilation cache DOES
+work on this backend (~/.cache/jax_sed, verified 20 Aug), so running
+this tool once in a healthy window makes subsequent bench runs
+compile-free: the official run then touches the relay only for
+transfers and execution, which have never wedged.
+
+Covers, with bench.py's default shapes (BENCH_CLIPS=4096,
+BENCH_BATCH=512, BENCH_THREADS=4, pull=topk, bf16 + f32 engines):
+  * the bf16-guard chained forward (measure_forward_ms),
+  * the resident program for every admitted fixed-width wire
+    (q6/adpcm4/q4/q5) + the secondary wires (int16, mulaw8),
+  * the ragged v6 resident program for the EXACT default corpus
+    (seed-0 clip payload sizes are deterministic, so the plan-derived
+    program key matches the real run's).
+
+Usage: python tools/prewarm_bench.py [--wires q6,adpcm4,...] [--no-v6]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--wires', default='q6,adpcm4,q4,q5,int16,mulaw8')
+    ap.add_argument('--no-v6', action='store_true')
+    ap.add_argument('--clips', type=int,
+                    default=int(os.environ.get('BENCH_CLIPS', '4096')))
+    ap.add_argument('--batch', type=int,
+                    default=int(os.environ.get('BENCH_BATCH', '512')))
+    ap.add_argument('--threads', type=int,
+                    default=int(os.environ.get('BENCH_THREADS', '4')))
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.expanduser('~/.cache/jax_sed'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    import jax.numpy as jnp
+    from sed_tpu.config import AUDIO_16K, PREDICT_SED_PARAMS
+    from sed_tpu.data import audio_io
+    from sed_tpu.models.registry import get_model
+    from sed_tpu.serve.engine import SedInferenceEngine
+    from sed_tpu.utils.npz_ckpt import load_variables_npz
+
+    cfg = AUDIO_16K
+    sr = cfg.sample_rate
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'bench_checkpoint.npz')
+    variables = load_variables_npz(ckpt)
+    t0 = time.time()
+
+    def log(msg):
+        print(f'[{time.time() - t0:6.1f}s] {msg}', flush=True)
+
+    log(f'devices: {jax.devices()}')
+
+    def width_of(w):
+        if w == 'int16':
+            return sr * 5, np.int16
+        if w == 'mulaw8':
+            return sr * 5, np.uint8
+        if w == 'adpcm4':
+            return audio_io.adpcm_bytes(sr * 5), np.uint8
+        return audio_io.qn_bytes(sr * 5, int(w[1])), np.uint8
+
+    v6_sizes = None
+    if not args.no_v6:
+        # the default corpus is deterministic (seed 0): its exact
+        # payload sizes give the exact ragged program key
+        from bench_corpus import make_clips
+        clips = make_clips(args.clips, sr, seconds=5, seed=0)
+        v6_sizes = [int(audio_io.v6_encode_clip(c).nbytes)
+                    for c in clips]
+        log(f'v6 sizes computed (mean {np.mean(v6_sizes):.0f} B)')
+
+    for bf16 in (True, False):
+        eng = SedInferenceEngine(
+            model=get_model('Cnn_9layers_Gru_FrameAtt', cfg,
+                            compute_dtype=jnp.bfloat16 if bf16 else None),
+            variables=variables, cfg=cfg, sample_duration=5,
+            overlap=True, sed_params=PREDICT_SED_PARAMS,
+            batch_size=args.batch, launch_group=2, pull_format='topk')
+        tag = 'bf16' if bf16 else 'f32'
+        if bf16:
+            ms = eng.measure_forward_ms(iters=6)
+            log(f'{tag} guard forward: {ms:.1f} ms')
+        for w in [x for x in args.wires.split(',') if x]:
+            width, dtype = width_of(w)
+            eng.warmup_resident(args.clips, width, dtype, args.threads)
+            log(f'{tag} resident warm: {w} (width {width})')
+        if v6_sizes is not None:
+            eng.warmup_resident_ragged(v6_sizes, args.threads)
+            log(f'{tag} resident warm: v6 (ragged)')
+    log('prewarm complete')
+
+
+if __name__ == '__main__':
+    main()
