@@ -729,6 +729,17 @@ def supervise():
             raise SystemExit(4)
 
 
+def compile_probe_fn() -> float:
+    """The 1-op compile-health probe, shared verbatim with
+    tools/prewarm_bench.py so the persistent-cache key (which includes
+    HLO source metadata) matches and the official run's probe is a
+    cache hit, never a relay POST."""
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: (x * 2.0 + 1.0).sum())
+    return float(f(jnp.ones((128, 128))))
+
+
 def _require_backend(timeout_s=600.0, compile_timeout_s=None):
     """Bounded backend init + compile-health probe.
 
@@ -760,13 +771,11 @@ def _require_backend(timeout_s=600.0, compile_timeout_s=None):
         os._exit(3)
     print(f'# devices: {out[0]}', file=sys.stderr, flush=True)
 
-    import jax.numpy as jnp
     done = []
     t0 = time.time()
 
     def cprobe():
-        f = jax.jit(lambda x: (x * 2.0 + 1.0).sum())
-        done.append(float(f(jnp.ones((128, 128)))))
+        done.append(compile_probe_fn())
 
     tc = threading.Thread(target=cprobe, daemon=True)
     tc.start()
@@ -793,7 +802,10 @@ def main():
     # TPU compilation
     jax.config.update('jax_compilation_cache_dir',
                       os.path.expanduser('~/.cache/jax_sed'))
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                      0.0)  # cache EVERYTHING: a cache hit skips the
+    # remote-compile relay entirely, and its slow-queue windows make
+    # even a trivial 1-op probe jit cost 20+ min when missed
     _require_backend(float(os.environ.get('BENCH_INIT_TIMEOUT', '600')))
     import jax.numpy as jnp
     from sed_tpu.config import AUDIO_16K, PREDICT_SED_PARAMS

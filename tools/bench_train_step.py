@@ -23,7 +23,10 @@ def main():
     import jax
     jax.config.update('jax_compilation_cache_dir',
                       os.path.expanduser('~/.cache/jax_sed'))
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                      0.0)  # cache EVERYTHING: a cache hit skips the
+    # remote-compile relay entirely, and its slow-queue windows make
+    # even a trivial 1-op probe jit cost 20+ min when missed
     import jax.numpy as jnp
     from sed_tpu import losses
     from sed_tpu.config import AUDIO_16K, CLASSES_NUM

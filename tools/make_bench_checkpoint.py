@@ -3,9 +3,11 @@ checkpoint for bench.py.
 
 The bench previously ran a random-init model with a bias hack to fake
 production event density; this produces a REAL trained
-Cnn_9layers_Gru_FrameAtt (tone-band classes, see
-``synthetic_learning_check.synth_clip``) so the benched event
-distribution comes from actual detections.
+Cnn_9layers_Gru_FrameAtt on the hardened 6-class corpus (tones, AM,
+chirp, noise burst, near-Nyquist tone over diverse backgrounds — see
+``tools/bench_corpus.py``) so the benched event distribution comes
+from actual detections on content the wire-admission gate also
+measures.
 
 Usage: python tools/make_bench_checkpoint.py [workdir] [stop_iteration]
 Writes tools/bench_checkpoint.npz (float16, ~9 MB).
@@ -30,12 +32,12 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def main():
     workdir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(
         prefix='sed_benchckpt_')
-    stop = sys.argv[2] if len(sys.argv) > 2 else '401'
+    stop = sys.argv[2] if len(sys.argv) > 2 else '801'
     dataset = os.path.join(workdir, 'dataset')
     ws = os.path.join(workdir, 'workspace')
     if not os.path.isdir(dataset):
-        build_dataset(dataset, {'weak_training': 48, 'strong_training': 48,
-                                'strong_validation': 16, 'testing': 16})
+        build_dataset(dataset, {'weak_training': 96, 'strong_training': 96,
+                                'strong_validation': 24, 'testing': 24})
     for split in ('weak_training', 'strong_training',
                   'strong_validation', 'testing'):
         # per-split completeness: a killed earlier run can resume

@@ -49,7 +49,10 @@ def main(argv=None):
     import jax
     jax.config.update('jax_compilation_cache_dir',
                       os.path.expanduser('~/.cache/jax_sed'))
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                      0.0)  # cache EVERYTHING: a cache hit skips the
+    # remote-compile relay entirely, and its slow-queue windows make
+    # even a trivial 1-op probe jit cost 20+ min when missed
     import jax.numpy as jnp
     from sed_tpu.config import AUDIO_16K, PREDICT_SED_PARAMS
     from sed_tpu.data import audio_io
@@ -68,6 +71,12 @@ def main(argv=None):
         print(f'[{time.time() - t0:6.1f}s] {msg}', flush=True)
 
     log(f'devices: {jax.devices()}')
+    # the bench's compile-health probe, shared function (same HLO
+    # source metadata -> same persistent-cache key): with
+    # min_compile_time 0.0 it lands in the cache so the official run's
+    # probe is a cache hit, never a relay POST
+    import bench
+    log(f'probe jit: {bench.compile_probe_fn():.0f}')
 
     def width_of(w):
         if w == 'int16':

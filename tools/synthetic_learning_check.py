@@ -18,30 +18,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 import numpy as np
 
-from sed_tpu.config import AUDIO_16K, LABELS
+from sed_tpu.config import AUDIO_16K
 from sed_tpu.data import audio_io
 from sed_tpu.cli import features as features_cli
 from sed_tpu.cli import main_strong as main_strong_cli
+from bench_corpus import (BANDS, N_CLASSES, make_clips)  # noqa: F401
 
 CFG = AUDIO_16K
-N_CLASSES = 4
-BANDS = [(300, 500), (800, 1200), (2000, 2600), (4000, 5000)]
 
 
 def synth_clip(rng, k):
-    """10 s of noise with 2 bursts of a class-k band tone; returns
-    (waveform, [(onset, offset)])."""
-    sr = CFG.sample_rate
-    t = np.arange(sr * 10) / sr
-    x = rng.uniform(-0.05, 0.05, sr * 10)
-    spans = []
-    for _ in range(2):
-        f0 = rng.uniform(*BANDS[k])
-        s = rng.uniform(0, 6.5)
-        e = s + rng.uniform(1.5, 3.0)
-        x = x + 0.4 * np.sin(2 * np.pi * f0 * t) * ((t >= s) & (t < e))
-        spans.append((s, min(e, 10.0)))
-    return x.astype(np.float32), spans
+    """One 10 s hardened-corpus training clip guaranteed to contain a
+    class-k event (plus the corpus's random extras); returns
+    (waveform, [(label, onset, offset)])."""
+    del k  # class balance comes from make_clips's uniform class draw
+    seed = int(rng.randint(1 << 31))
+    clips, events = make_clips(1, CFG.sample_rate, seconds=10, seed=seed,
+                               return_events=True, min_events=2,
+                               max_events=3, min_dur=1.5, max_dur=3.0)
+    spans = [(e['event_label'], e['onset'], e['offset'])
+             for e in events[0]]
+    return clips[0], spans
 
 
 def build_dataset(root, n_per_split):
@@ -53,14 +50,14 @@ def build_dataset(root, n_per_split):
         os.makedirs(d, exist_ok=True)
         weak_rows, strong_rows = [], []
         for i in range(n):
-            k = i % N_CLASSES
-            wav, spans = synth_clip(rng, k)
+            wav, spans = synth_clip(rng, i % N_CLASSES)
             name = f'{split}{i}_0.wav'
             audio_io.save_wav(os.path.join(d, name), wav, CFG.sample_rate)
+            labels = sorted({lb for lb, _, _ in spans})
             weak_rows.append(
-                f'{split}{i},0.000,10.000,{LABELS[k]},/m/x\n')
-            for s, e in spans:
-                strong_rows.append(f'{name},{s:.3f},{e:.3f},{LABELS[k]}\n')
+                f'{split}{i},0.000,10.000,"{",".join(labels)}",/m/x\n')
+            for lb, s, e in spans:
+                strong_rows.append(f'{name},{s:.3f},{e:.3f},{lb}\n')
         if split == 'testing':
             open(os.path.join(meta, 'testing_set.csv'), 'w').write(
                 ''.join(weak_rows))
