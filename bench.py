@@ -664,6 +664,8 @@ def supervise():
     prints the ``#WD-DISARM`` marker at the end of setup.  After the marker the stall monitor disarms — draws
     carry their own deadline/abort machinery and a dead-phase draw may
     legitimately run silent for many minutes."""
+    import atexit
+    import signal
     import subprocess
     import threading
     stall_s = float(os.environ.get('BENCH_STALL_EXEC_S', '1500'))
@@ -671,6 +673,21 @@ def supervise():
     env = dict(os.environ, BENCH_SUPERVISED='1')
     last = [time.time()]
     disarmed = [False]
+    live: list = []
+
+    def _reap(*_a):
+        # the driver may SIGTERM/timeout the SUPERVISOR: the child must
+        # die with it, not keep holding the tunnel as an orphan
+        for c in live:
+            try:
+                c.kill()
+            except Exception:
+                pass
+        if _a:
+            raise SystemExit(143)
+
+    atexit.register(_reap)
+    signal.signal(signal.SIGTERM, _reap)
 
     for attempt in range(max_retries + 1):
         if attempt:
@@ -683,6 +700,7 @@ def supervise():
         child = subprocess.Popen(
             [sys.executable, '-u'] + sys.argv, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        live[:] = [child]
 
         def pump(src, dst):
             for line in iter(src.readline, b''):
