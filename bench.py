@@ -20,7 +20,7 @@ are taken back-to-back in the immediately ADJACENT link phase
 possible) and reported alongside in the `wires` field.
 
 Configuration (env vars):
-  BENCH_WIRE=auto|q6|q5|q4|adpcm4|mulaw8|int16
+  BENCH_WIRE=auto|q6|q5|q4|adpcm4|adpcm3|adpcm2|mulaw8|int16
                             headline wire.  Default `auto`: the gate
                             probes the link before each draw and picks
                             the wire whose predicted pass time
@@ -203,6 +203,8 @@ def resolve_auto_wires(spec: str, admitted) -> list:
         if w.startswith('q') and w[1:].isdigit():
             return audio_io.qn_bytes(samples, int(w[1:]))
         return {'adpcm4': audio_io.adpcm_bytes(samples),
+                'adpcm3': audio_io.adpcm_n_bytes(samples, 3),
+                'adpcm2': audio_io.adpcm_n_bytes(samples, 2),
                 'mulaw8': samples, 'int16': 2 * samples}.get(w, 1 << 30)
 
     if spec == 'admitted':
@@ -305,7 +307,8 @@ def write_wire_files(clips, sr, wire, tmpdir):
     run_pass routes through the engine's ragged resident path."""
     from sed_tpu.data import audio_io
     qbits = int(wire[1]) if wire.startswith('q') else None
-    ext = wire if qbits or wire == 'v6' else 'wav'
+    ext = (wire if qbits or wire in ('v6', 'adpcm3', 'adpcm2')
+           else 'wav')
     paths = []
     n = clips.shape[0]
     # NOTE: qN encode stays PER-CLIP on purpose — save_qn's ~1.5 MB
@@ -322,12 +325,16 @@ def write_wire_files(clips, sr, wire, tmpdir):
             audio_io.save_wav_mulaw(p, clips[i], sr)
         elif wire == 'adpcm4':
             audio_io.save_wav_adpcm(p, clips[i], sr)
+        elif wire in ('adpcm3', 'adpcm2'):
+            audio_io.save_adpcm_n(p, clips[i], sr, int(wire[5]))
         else:
             audio_io.save_wav(p, clips[i], sr)
         paths.append(p)
     if wire == 'v6':
         read = lambda p: audio_io.read_v6(p)[0]            # noqa: E731
         read.ragged = True
+    elif wire in ('adpcm3', 'adpcm2'):
+        read = lambda p: audio_io.read_adpcm_n(p)[0]       # noqa: E731
     elif qbits:
         read = lambda p: audio_io.read_qn(p)[0]            # noqa: E731
     elif wire in ('mulaw8', 'adpcm4'):
@@ -346,6 +353,8 @@ def encode_wire(clips, wire):
                          'only — it has no fixed-width warm buffer')
     if wire == 'adpcm4':
         return audio_io.adpcm_encode(clips)
+    if wire in ('adpcm3', 'adpcm2'):
+        return audio_io.adpcm_n_encode(clips, int(wire[5]))
     if wire.startswith('q'):
         return audio_io.qn_encode(clips, int(wire[1]))
     if wire == 'mulaw8':

@@ -832,6 +832,212 @@ def adpcm_decode_np(buf: np.ndarray, samples: int,
     return (out / 32768.0).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Narrow ADPCM wires (adpcm3 / adpcm2): the IMA predictor + step-size
+# adaptation at 3- and 2-bit code widths (the DVI/IMA spec's own
+# lower-rate variants) in a sed_tpu block container.  adpcm4 measured
+# EXACTLY ER/F1-transparent on the hardened bench corpus
+# (tools/wire_admission.json: delta 0.0000 at 40.7 KB/clip) while q3
+# (31.25 KB) failed admission — differential coding holds SNR where
+# block-max quantizers lose segment decisions, so the next honest
+# rungs below adpcm4 are its own narrower-code siblings: adpcm3 at
+# ~30.5 KB/clip (3.04 bits/sample) and adpcm2 at ~20.3 KB (2.03).
+# Admission (segment ER/F1 vs int16, tools/wire_admission.py) — not
+# optimism — decides whether each may carry the bench headline.
+#
+# Block layout (block_align ba): the IMA 4-byte header (int16 LE
+# predictor = sample 0, uint8 step index, reserved 0) + (ba-4) bytes of
+# BIG-ENDIAN packed N-bit codes — spb = (ba-4)*8/N + 1 samples/block
+# (673 / 1009 at ba=256 vs adpcm4's 505).  Codes: sign bit (1<<(N-1))
+# + magnitude; reconstruction diff = step>>(N-1) + sum_k bit_k *
+# (step>>k), the same truncating shift-add family as the 4-bit codec,
+# so the device decode reuses the blocked clamp-add prefix resolution
+# (ops/wire.py) unchanged.  Rows end with ADPCM_N_PAD[bits] zero bytes:
+# widths are ≡ 1/3/5 (mod 8) for bits 4/3/2 while every qN/mu-law/int16
+# width is even — the width-keyed wire dispatch stays collision-free.
+# ---------------------------------------------------------------------------
+
+ADPCM_N_PAD = {4: 1, 3: 3, 2: 5}
+
+# IMA/DVI index-adjust tables for 3- and 2-bit codes (magnitude part
+# mirrored over the sign bit, like the 16-entry 4-bit table)
+IMA_INDEX_TABLE_3 = np.asarray([-1, -1, 1, 2, -1, -1, 1, 2], np.int32)
+IMA_INDEX_TABLE_2 = np.asarray([-1, 2, -1, 2], np.int32)
+
+
+def adpcm_index_table(bits: int) -> np.ndarray:
+    return {4: IMA_INDEX_TABLE, 3: IMA_INDEX_TABLE_3,
+            2: IMA_INDEX_TABLE_2}[bits]
+
+
+def adpcm_n_samples_per_block(bits: int,
+                              block_align: int = ADPCM_BLOCK_ALIGN) -> int:
+    assert block_align >= 8 and block_align % 4 == 0, block_align
+    assert bits in (2, 3, 4) and ((block_align - 4) * 8) % bits == 0
+    return (block_align - 4) * 8 // bits + 1
+
+
+def adpcm_n_bytes(samples: int, bits: int,
+                  block_align: int = ADPCM_BLOCK_ALIGN) -> int:
+    """Wire bytes for ``samples`` at code width ``bits`` (pad included;
+    see the section comment for the width-disambiguation invariant)."""
+    spb = adpcm_n_samples_per_block(bits, block_align)
+    return -(-samples // spb) * block_align + ADPCM_N_PAD[bits]
+
+
+def _adpcm_lanes_spb(x: np.ndarray, spb: int):
+    """float [-1,1] / int16 (B, S) -> int32 (B*nblocks, spb) lanes,
+    final block edge-padded (shared by every code width)."""
+    if x.dtype != np.int16:
+        x = np.clip(np.round(np.asarray(x, np.float32) * 32767.0),
+                    -32768, 32767).astype(np.int16)
+    b, s = x.shape
+    nbl = -(-s // spb)
+    pad = nbl * spb - s
+    if pad:
+        x = np.concatenate([x, np.repeat(x[:, -1:], pad, axis=1)], axis=1)
+    return x.astype(np.int32).reshape(b * nbl, spb), b, nbl
+
+
+def adpcm_n_encode_np(x: np.ndarray, bits: int,
+                      block_align: int = ADPCM_BLOCK_ALIGN) -> np.ndarray:
+    """float [-1,1] or int16 (B, S) -> (B, adpcm_n_bytes(S, bits))
+    uint8.  Same vectorization + per-block step-index seeding as
+    ``adpcm_encode_np``; the quantizer loop generalizes the IMA
+    truncating shift-add to ``bits-1`` magnitude bits."""
+    assert bits in (2, 3), bits
+    spb = adpcm_n_samples_per_block(bits, block_align)
+    lanes, b, nbl = _adpcm_lanes_spb(x, spb)
+    steps = IMA_STEP_TABLE
+    itab = adpcm_index_table(bits)
+    sign_bit = 1 << (bits - 1)
+    pred = lanes[:, 0].copy()
+    mean_diff = np.abs(np.diff(lanes, axis=1)).mean(axis=1)
+    index = np.clip(np.searchsorted(steps, mean_diff), 0, 88).astype(
+        np.int32)
+    header = np.empty((lanes.shape[0], 4), np.uint8)
+    header[:, 0] = pred & 0xFF
+    header[:, 1] = (pred >> 8) & 0xFF
+    header[:, 2] = index
+    header[:, 3] = 0
+    codes = np.empty((lanes.shape[0], spb - 1), np.uint8)
+    for t in range(1, spb):
+        step = steps[index]
+        diff = lanes[:, t] - pred
+        sign = (diff < 0).astype(np.int32) * sign_bit
+        diff = np.abs(diff)
+        delta = np.zeros_like(pred)
+        vpdiff = step >> (bits - 1)
+        for bit in range(bits - 2, -1, -1):
+            ge = diff >= step
+            delta |= np.where(ge, 1 << bit, 0)
+            diff = np.where(ge, diff - step, diff)
+            vpdiff = np.where(ge, vpdiff + step, vpdiff)
+            step = step >> 1
+        pred = np.clip(np.where(sign, pred - vpdiff, pred + vpdiff),
+                       -32768, 32767)
+        code = (sign | delta).astype(np.uint8)
+        codes[:, t - 1] = code
+        index = np.clip(index + itab[code], 0, 88)
+    # big-endian bitstream pack, qN-style: code i occupies bits
+    # [i*bits, (i+1)*bits) of the (ba-4)-byte data area
+    shifts = np.arange(bits - 1, -1, -1)
+    bit_mat = ((codes[:, :, None].astype(np.int32) >> shifts[None, None])
+               & 1).astype(np.uint8).reshape(lanes.shape[0],
+                                             (spb - 1) * bits)
+    packed = np.packbits(bit_mat, axis=1)
+    blocks = np.concatenate([header, packed], axis=1).reshape(b, -1)
+    return np.concatenate(
+        [blocks, np.zeros((b, ADPCM_N_PAD[bits]), np.uint8)], axis=1)
+
+
+def adpcm_n_encode(x: np.ndarray, bits: int,
+                   block_align: int = ADPCM_BLOCK_ALIGN) -> np.ndarray:
+    """Narrow-ADPCM encode, dispatching to the native C++ codec when
+    available (bit-exact to ``adpcm_n_encode_np``; same motivation as
+    ``adpcm_encode`` — the spb-1-step recursion is host-bound)."""
+    from sed_tpu.native import adpcm_native
+    if adpcm_native.native_available():
+        if x.dtype != np.int16:
+            x = np.clip(np.round(np.asarray(x, np.float32) * 32767.0),
+                        -32768, 32767).astype(np.int16)
+        return adpcm_native.encode_n(x, bits, block_align)
+    return adpcm_n_encode_np(x, bits, block_align)
+
+
+def _adpcm_n_split(buf: np.ndarray, bits: int, block_align: int):
+    """(B, adpcm_n_bytes(S, bits)) uint8 -> (pred0, index0, codes
+    (lanes, spb-1) int32)."""
+    b = buf.shape[0]
+    nbl = buf.shape[1] // block_align
+    blocks = buf[:, :nbl * block_align].reshape(-1, block_align)
+    pred = (blocks[:, 0].astype(np.int32)
+            | (blocks[:, 1].astype(np.int32) << 8))
+    pred = np.where(pred >= 32768, pred - 65536, pred)
+    index = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
+    data = blocks[:, 4:]
+    spb = adpcm_n_samples_per_block(bits, block_align)
+    bit_mat = np.unpackbits(data, axis=1).reshape(
+        blocks.shape[0], spb - 1, bits).astype(np.int32)
+    codes = np.zeros((blocks.shape[0], spb - 1), np.int32)
+    for k in range(bits):
+        codes = (codes << 1) | bit_mat[:, :, k]
+    return pred, index, codes, b, nbl
+
+
+def adpcm_n_decode_np(buf: np.ndarray, samples: int, bits: int,
+                      block_align: int = ADPCM_BLOCK_ALIGN) -> np.ndarray:
+    """Host-side reference decode -> float32 (B, samples) in [-1, 1)
+    (the engine decodes on device: ``ops/wire._adpcm_decode``)."""
+    assert bits in (2, 3), bits
+    pred, index, codes, b, nbl = _adpcm_n_split(buf, bits, block_align)
+    spb = adpcm_n_samples_per_block(bits, block_align)
+    itab = adpcm_index_table(bits)
+    steps = IMA_STEP_TABLE
+    sign_bit = 1 << (bits - 1)
+    out = np.empty((pred.shape[0], spb), np.int32)
+    out[:, 0] = pred
+    for t in range(spb - 1):
+        n = codes[:, t]
+        step = steps[index]
+        diff = step >> (bits - 1)
+        for k in range(bits - 2, -1, -1):
+            diff = diff + np.where(n & (1 << k), step >> (bits - 2 - k),
+                                   0)
+        pred = np.clip(np.where(n & sign_bit, pred - diff, pred + diff),
+                       -32768, 32767)
+        out[:, t + 1] = pred
+        index = np.clip(index + itab[n], 0, 88)
+    out = out.reshape(b, nbl * spb)[:, :samples]
+    return (out / 32768.0).astype(np.float32)
+
+
+def save_adpcm_n(path: str, x: np.ndarray, sr: int, bits: int) -> None:
+    """Write one clip as a .adpcmN container (13-byte SEDA header +
+    wire bytes, pad included — the payload feeds the engine directly,
+    like ``save_qn``/``read_qn``)."""
+    x = np.asarray(x)
+    buf = adpcm_n_encode(x[None], bits)[0]
+    with open(path, 'wb') as f:
+        f.write(b'SEDA' + bytes([bits]))
+        f.write(int(sr).to_bytes(4, 'little'))
+        f.write(int(x.shape[-1]).to_bytes(4, 'little'))
+        f.write(buf.tobytes())
+
+
+def read_adpcm_n(path: str) -> Tuple[np.ndarray, int, int]:
+    """Read a .adpcmN container -> (wire uint8, sample_rate, samples)."""
+    with open(path, 'rb') as f:
+        head = f.read(13)
+        assert head[:4] == b'SEDA', f'not an adpcmN file: {path}'
+        bits = head[4]
+        assert bits in (2, 3), f'unknown adpcmN width {bits}: {path}'
+        sr = int.from_bytes(head[5:9], 'little')
+        samples = int.from_bytes(head[9:13], 'little')
+        return (np.frombuffer(f.read(adpcm_n_bytes(samples, bits)),
+                              np.uint8), sr, samples)
+
+
 def save_wav_adpcm(path: str, x: np.ndarray, sr: int,
                    block_align: int = ADPCM_BLOCK_ALIGN) -> None:
     """Write audio as a standard IMA ADPCM wav (format tag 0x11)."""

@@ -126,4 +126,89 @@ int sed_adpcm_encode(const int16_t* x, int64_t b, int64_t s, int64_t ba,
   return 0;
 }
 
+// Narrow-code variant (bits in {2, 3}): the same IMA predictor /
+// step-index adaptation with bits-1 magnitude bits, big-endian packed
+// codes, and `pad` trailing zero bytes per row (the width
+// disambiguation marker — audio_io.ADPCM_N_PAD).  Bit-exact to
+// audio_io.adpcm_n_encode_np.
+int sed_adpcm_encode_n(const int16_t* x, int64_t b, int64_t s,
+                       int64_t ba, int64_t bits, int64_t pad,
+                       uint8_t* out) {
+  if (ba < 8 || (ba & 3) != 0 || s <= 0 || b < 0) return 1;
+  if (bits < 2 || bits > 3 || ((ba - 4) * 8) % bits != 0) return 1;
+  const int64_t spb = (ba - 4) * 8 / bits + 1;
+  const int64_t nbl = (s + spb - 1) / spb;
+  const int64_t row_bytes = nbl * ba + pad;
+  const int32_t sign_bit = 1 << (bits - 1);
+  static const int32_t itab3[8] = {-1, -1, 1, 2, -1, -1, 1, 2};
+  static const int32_t itab2[4] = {-1, 2, -1, 2};
+  const int32_t* itab = bits == 3 ? itab3 : itab2;
+
+  for (int64_t ci = 0; ci < b; ++ci) {
+    const int16_t* row = x + ci * s;
+    uint8_t* orow = out + ci * row_bytes;
+    for (int64_t bi = 0; bi < nbl; ++bi) {
+      const int64_t g0 = bi * spb;
+      uint8_t* blk = orow + bi * ba;
+      auto sample = [&](int64_t t) -> int32_t {
+        const int64_t g = g0 + t;
+        return row[g < s ? g : s - 1];
+      };
+      int32_t pred = sample(0);
+      int64_t adiff_sum = 0;
+      int32_t prev = pred;
+      for (int64_t t = 1; t < spb; ++t) {
+        const int32_t cur = sample(t);
+        adiff_sum += cur > prev ? cur - prev : prev - cur;
+        prev = cur;
+      }
+      const double mean_diff =
+          static_cast<double>(adiff_sum) / static_cast<double>(spb - 1);
+      int32_t index = 0;
+      while (index < 89 && static_cast<double>(kStepTable[index]) <
+                               mean_diff) {
+        ++index;
+      }
+      index = clamp_index(index);
+
+      blk[0] = static_cast<uint8_t>(pred & 0xFF);
+      blk[1] = static_cast<uint8_t>((pred >> 8) & 0xFF);
+      blk[2] = static_cast<uint8_t>(index);
+      blk[3] = 0;
+
+      uint8_t* data = blk + 4;
+      for (int64_t i = 0; i < ba - 4; ++i) data[i] = 0;
+      for (int64_t t = 1; t < spb; ++t) {
+        int32_t step = kStepTable[index];
+        int32_t diff = sample(t) - pred;
+        const int32_t sign = diff < 0 ? sign_bit : 0;
+        if (diff < 0) diff = -diff;
+        int32_t delta = 0;
+        int32_t vpdiff = step >> (bits - 1);
+        for (int32_t bit = sign_bit >> 1; bit >= 1; bit >>= 1) {
+          if (diff >= step) {
+            delta |= bit;
+            diff -= step;
+            vpdiff += step;
+          }
+          step >>= 1;
+        }
+        pred = clamp16(sign ? pred - vpdiff : pred + vpdiff);
+        const int32_t code = sign | delta;
+        // big-endian bitstream: code t-1 at bit offset (t-1)*bits
+        const int64_t bitpos = (t - 1) * bits;
+        for (int64_t k = 0; k < bits; ++k) {
+          if (code & (1 << (bits - 1 - k))) {
+            data[(bitpos + k) >> 3] |=
+                static_cast<uint8_t>(0x80 >> ((bitpos + k) & 7));
+          }
+        }
+        index = clamp_index(index + itab[code]);
+      }
+    }
+    for (int64_t k = 0; k < pad; ++k) orow[row_bytes - 1 - k] = 0;
+  }
+  return 0;
+}
+
 }  // extern "C"

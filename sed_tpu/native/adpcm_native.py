@@ -61,6 +61,11 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p,
     ]
+    lib.sed_adpcm_encode_n.restype = ctypes.c_int
+    lib.sed_adpcm_encode_n.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+    ]
     return lib
 
 
@@ -92,4 +97,23 @@ def encode(x: np.ndarray, block_align: int) -> np.ndarray:
     rc = lib.sed_adpcm_encode(x.ctypes.data, b, s, block_align,
                               out.ctypes.data)
     assert rc == 0, 'native adpcm encode failed'
+    return out
+
+
+def encode_n(x: np.ndarray, bits: int, block_align: int) -> np.ndarray:
+    """int16 (B, S) -> narrow-code (bits in {2, 3}) ADPCM wire rows
+    (bit-exact to ``audio_io.adpcm_n_encode_np``)."""
+    from sed_tpu.data.audio_io import ADPCM_N_PAD
+    lib = _get_lib()
+    assert lib is not None, 'native adpcm encoder unavailable'
+    x = np.ascontiguousarray(x, np.int16)
+    assert x.ndim == 2, x.shape
+    b, s = x.shape
+    spb = (block_align - 4) * 8 // bits + 1
+    nbl = -(-s // spb)
+    pad = ADPCM_N_PAD[bits]
+    out = np.empty((b, nbl * block_align + pad), np.uint8)
+    rc = lib.sed_adpcm_encode_n(x.ctypes.data, b, s, block_align, bits,
+                                pad, out.ctypes.data)
+    assert rc == 0, 'native adpcm_n encode failed'
     return out

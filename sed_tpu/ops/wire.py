@@ -56,6 +56,11 @@ def wire_widths(samples: int) -> dict:
     assert aw % 2 == 1 and aw not in widths and aw != samples, (
         samples, aw)
     widths[aw] = 'adpcm4'
+    for n in (2, 3):
+        w = audio_io.adpcm_n_bytes(samples, n)
+        assert w % 2 == 1 and w not in widths and w != samples, (
+            samples, n, w)
+        widths[w] = f'adpcm{n}'
     return widths
 
 
@@ -80,8 +85,9 @@ def dequant_wire(wav, samples: int = None):
     width_bits = wire_widths(samples)
     if wav.dtype == jnp.int16:
         return wav.astype(jnp.float32) / 32767.0
-    if wav.dtype == jnp.uint8 and width_bits.get(wav.shape[-1]) == 'adpcm4':
-        return _adpcm_decode(wav, samples)
+    tag = width_bits.get(wav.shape[-1]) if wav.dtype == jnp.uint8 else None
+    if isinstance(tag, str) and tag.startswith('adpcm'):
+        return _adpcm_decode(wav, samples, bits=int(tag[5:]))
     if wav.dtype == jnp.uint8 and wav.shape[-1] in width_bits:
         bits = width_bits[wav.shape[-1]]
         b = wav.shape[0]
@@ -121,22 +127,40 @@ def dequant_wire(wav, samples: int = None):
     return wav
 
 
-def _adpcm_split_dev(wav):
+def _adpcm_split_dev(wav, bits: int = 4):
     """(B, wire) uint8 -> per-(clip, block) lane arrays: initial
-    predictor, initial step index, and the (lanes, spb-1) nibble
-    stream (low nibble first, IMA order)."""
+    predictor, initial step index, and the (lanes, spb-1) code stream.
+    bits=4 is standard IMA nibble packing (low nibble first); the
+    narrow adpcm3/adpcm2 wires pack codes as a big-endian bitstream
+    (``audio_io`` narrow-ADPCM section), unpacked here with the qN
+    static-slice formulation (code bit offsets repeat every
+    lcm(8, bits) bits)."""
     ba = audio_io.ADPCM_BLOCK_ALIGN
-    spb = audio_io.adpcm_samples_per_block(ba)
+    spb = audio_io.adpcm_n_samples_per_block(bits, ba)
+    pad = audio_io.ADPCM_N_PAD[bits]
     b = wav.shape[0]
-    nbl = (wav.shape[-1] - 1) // ba          # trailing pad byte dropped
+    nbl = (wav.shape[-1] - pad) // ba        # trailing pad bytes dropped
     blocks = jax.lax.slice_in_dim(wav, 0, nbl * ba, axis=1).reshape(
         b * nbl, ba).astype(jnp.int32)
     pred0 = blocks[:, 0] | (blocks[:, 1] << 8)
     pred0 = jnp.where(pred0 >= 32768, pred0 - 65536, pred0)
     idx0 = jnp.clip(blocks[:, 2], 0, 88)
     data = blocks[:, 4:]
-    nib = jnp.stack([data & 0xF, data >> 4], axis=-1).reshape(
-        b * nbl, spb - 1)
+    if bits == 4:
+        nib = jnp.stack([data & 0xF, data >> 4], axis=-1).reshape(
+            b * nbl, spb - 1)
+    else:
+        gbytes = bits // math.gcd(8, bits)
+        gsamples = gbytes * 8 // bits
+        groups = data.reshape(b * nbl, (ba - 4) // gbytes, gbytes)
+        parts = []
+        for k in range(gsamples):
+            j = (k * bits) >> 3
+            sh = 16 - bits - ((k * bits) & 7)
+            hi = groups[:, :, j]
+            lo = groups[:, :, min(j + 1, gbytes - 1)]
+            parts.append((((hi << 8) | lo) >> sh) & ((1 << bits) - 1))
+        nib = jnp.stack(parts, axis=-1).reshape(b * nbl, spb - 1)
     return pred0, idx0, nib, b, nbl, spb
 
 
@@ -308,9 +332,11 @@ def _take_small(table, idx, chunk: int = 16):
     return out
 
 
-def _adpcm_decode(wav, samples: int, group: int = 24):
-    """Default IMA ADPCM device decode, bit-exact to
-    ``audio_io.adpcm_decode_np``.
+def _adpcm_decode(wav, samples: int, group: int = 24, bits: int = 4):
+    """Default ADPCM device decode, bit-exact to
+    ``audio_io.adpcm_decode_np`` (bits=4) / ``adpcm_n_decode_np``
+    (the narrow adpcm3/adpcm2 wires — same recurrences at ``bits-1``
+    magnitude bits, so the whole formulation below is width-generic).
 
     Both of the codec's recurrences are chains of saturating adds
     ``x -> clip(x + a, lo, hi)`` — closed under composition — so each
@@ -321,9 +347,9 @@ def _adpcm_decode(wav, samples: int, group: int = 24):
     depends only on the nibbles; once resolved, the per-sample signed
     ``diff`` is elementwise (one big table gather instead of 504 small
     ones) and the predictor chain is a second blocked prefix."""
-    pred0, idx0, nib, b, nbl, spb = _adpcm_split_dev(wav)
+    pred0, idx0, nib, b, nbl, spb = _adpcm_split_dev(wav, bits)
     steps = jnp.asarray(audio_io.IMA_STEP_TABLE)
-    itab = jnp.asarray(audio_io.IMA_INDEX_TABLE)
+    itab = jnp.asarray(audio_io.adpcm_index_table(bits))
     # lane-major (L, T) throughout — no transposes
     ia = jnp.take(itab, nib)
     idx_after = _resolve_clamp_add_chain(
@@ -332,11 +358,11 @@ def _adpcm_decode(wav, samples: int, group: int = 24):
                                axis=1)
 
     step = _take_small(steps, idx_prev)
-    diff = ((step >> 3)
-            + jnp.where((nib & 4) != 0, step, 0)
-            + jnp.where((nib & 2) != 0, step >> 1, 0)
-            + jnp.where((nib & 1) != 0, step >> 2, 0))
-    pa = jnp.where((nib & 8) != 0, -diff, diff)
+    diff = step >> (bits - 1)
+    for k in range(bits - 2, -1, -1):
+        diff = diff + jnp.where((nib & (1 << k)) != 0,
+                                step >> (bits - 2 - k), 0)
+    pa = jnp.where((nib & (1 << (bits - 1))) != 0, -diff, diff)
     preds = _resolve_clamp_add_chain(
         pa, jnp.full_like(pa, -32768), jnp.full_like(pa, 32767),
         pred0, group)

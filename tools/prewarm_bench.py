@@ -36,7 +36,8 @@ import numpy as np
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument('--wires', default='q6,adpcm4,q4,q5,int16,mulaw8')
+    ap.add_argument('--wires',
+                    default='q6,adpcm4,adpcm3,adpcm2,q4,q5,int16,mulaw8')
     ap.add_argument('--no-v6', action='store_true')
     ap.add_argument('--clips', type=int,
                     default=int(os.environ.get('BENCH_CLIPS', '4096')))
@@ -85,6 +86,8 @@ def main(argv=None):
             return sr * 5, np.uint8
         if w == 'adpcm4':
             return audio_io.adpcm_bytes(sr * 5), np.uint8
+        if w in ('adpcm3', 'adpcm2'):
+            return audio_io.adpcm_n_bytes(sr * 5, int(w[5])), np.uint8
         return audio_io.qn_bytes(sr * 5, int(w[1])), np.uint8
 
     v6_sizes = None

@@ -47,7 +47,7 @@ TOLERANCE = 0.005
 # headline corpus (bench.make_test_clips, seed 0) but a different seed
 SEED = 20260820
 
-DEFAULT_WIRES = 'q6,v6,q5,q4,q3,q2,adpcm4,mulaw8'
+DEFAULT_WIRES = 'q6,v6,q5,q4,q3,q2,adpcm4,adpcm3,adpcm2,mulaw8'
 
 
 def evaluate_events(truth, predicted, labels):
@@ -70,6 +70,11 @@ def main(argv=None):
     ap.add_argument('--ckpt', default=CKPT)
     ap.add_argument('--batch_size', type=int, default=64)
     ap.add_argument('--seed', type=int, default=SEED)
+    ap.add_argument('--merge', action='store_true',
+                    help='update only the measured wires in an existing '
+                         'table (same corpus seed/clips required) '
+                         'instead of rewriting it — lets a new wire be '
+                         'admitted without re-running every old one')
     args = ap.parse_args(argv)
 
     import jax
@@ -117,6 +122,8 @@ def main(argv=None):
             buf = audio_io.qn_encode(pcm, int(wire[1:]))
         elif wire == 'adpcm4':
             buf = audio_io.adpcm_encode(pcm)
+        elif wire in ('adpcm3', 'adpcm2'):
+            buf = audio_io.adpcm_n_encode(pcm, int(wire[5]))
         elif wire == 'mulaw8':
             buf = audio_io.mulaw_encode(pcm)
         else:
@@ -146,6 +153,17 @@ def main(argv=None):
         print(f'{wire}: ER {er:.4f} (d {d_er:+.4f})  F1 {f1:.4f} '
               f'(d {d_f1:+.4f})  {bpc:.0f} B/clip  admitted={admitted}',
               flush=True)
+
+    if args.merge and os.path.isfile(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+        assert prev['meta']['clips'] == args.clips \
+            and prev['meta']['seed'] == args.seed, (
+                'merge requires the same corpus (clips/seed) as the '
+                'existing table', prev['meta'])
+        merged = dict(prev['wires'])
+        merged.update(table)
+        table = merged
 
     out = {
         'meta': {'clips': args.clips, 'seed': args.seed,
