@@ -1,5 +1,12 @@
 """Device-time benchmark of the jitted joint train step.
 
+WARNING (21 Aug, reproduced): on the tunneled backend
+``block_until_ready`` can return PRE-COMPLETION, making this host-
+chained timer read ~50x low (0.6 ms/step vs the true 34 ms).  For
+valid readings use ``tools/bench_device_time.py train`` (in-jit
+fori_loop chaining + a d2h value pull); this tool remains useful on
+local backends where the sync is honest.
+
 The end-to-end s/step on the tunneled chip is dominated by the link
 (BENCHMARKS.md); this tool isolates pure device compute: batches are
 made resident on device first, then N steps are dispatched back-to-back
