@@ -118,6 +118,13 @@ def main(argv=None):
         if v6_sizes is not None:
             eng.warmup_resident_ragged(v6_sizes, args.threads)
             log(f'{tag} resident warm: v6 (ragged)')
+    # the driver's single-chip compile check (__graft_entry__.entry)
+    # jits the flagship forward at (8, 80000) — cache it too so a
+    # driver check landing in a slow-compile window is also free
+    import __graft_entry__ as graft
+    fn, fargs = graft.entry()
+    jax.block_until_ready(jax.jit(fn)(*fargs))
+    log('graft entry() forward cached')
     log('prewarm complete')
 
 
